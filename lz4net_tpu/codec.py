@@ -1,0 +1,110 @@
+"""Codec facade: the framework's `LZ4Codec` equivalent.
+
+Bytes-in/bytes-out API over the engine registry, plus the 8-byte Wrap
+envelope (reference `/root/reference/src/LZ4/LZ4Codec.cs:296-599`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from . import registry
+from .constants import (
+    HC_LEVEL_DEFAULT,
+    WRAP_HEADER_LENGTH,
+    maximum_output_length,
+)
+
+
+def codec_name() -> str:
+    """"encoder/decoder/encoderHC" triple of the selected engines."""
+    return registry.codec_name()
+
+
+def encode(src: bytes, dst_maxlen: int | None = None) -> bytes:
+    """Greedy (fast) LZ4 block compression.
+
+    Returns b"" when ``dst_maxlen`` is given and the compressed form would
+    not fit (the reference's Encode-returns-0 convention).  With the default
+    ``dst_maxlen=None`` the worst-case bound is used and compression always
+    succeeds.
+    """
+    if len(src) == 0:
+        return b""
+    if dst_maxlen is None:
+        dst_maxlen = maximum_output_length(len(src))
+    return registry.encoder().encode(bytes(src), dst_maxlen)
+
+
+def encode_hc(src: bytes, dst_maxlen: int | None = None,
+              level: int = HC_LEVEL_DEFAULT) -> bytes:
+    """LZ4HC block compression.  ``level`` (1..9) maps onto the chain-search
+    budget; level 9 reproduces the reference's fixed-effort parse."""
+    if len(src) == 0:
+        return b""
+    if dst_maxlen is None:
+        dst_maxlen = maximum_output_length(len(src))
+    return registry.encoder_hc().encode_hc(bytes(src), dst_maxlen, level)
+
+
+def decode(src: bytes, output_length: int | None = None, *,
+           max_output_length: int | None = None) -> bytes:
+    """Decompress one LZ4 block.
+
+    ``output_length`` set -> known-output-length decode (fast path, used by
+    the stream layer which always records original sizes).  Otherwise
+    ``max_output_length`` must be given -> hardened unknown-length decode.
+    Mirrors `LZ4Codec.Decode(..., knownOutputLength)` (`LZ4Codec.cs:430-463`).
+    """
+    if output_length is not None:
+        if output_length == 0:
+            return b""
+        return registry.decoder().decode(bytes(src), output_length)
+    if max_output_length is None:
+        raise ValueError("either output_length or max_output_length is required")
+    if len(src) == 0:
+        return b""
+    return registry.decoder().decode_unknown(bytes(src), max_output_length)
+
+
+# ---------------------------------------------------------------------------
+# Wrap envelope: [u32le originalLength][u32le payloadLength][payload]
+# Raw passthrough when compression does not shrink the data
+# (`LZ4Codec.cs:510-599`).
+# ---------------------------------------------------------------------------
+
+def _wrap(src: bytes, high_compression: bool, level: int) -> bytes:
+    n = len(src)
+    if n == 0:
+        return bytes(WRAP_HEADER_LENGTH)
+
+    # The reference compresses into a buffer of only inputLength bytes so
+    # "didn't fit" doubles as the incompressible signal.
+    packed = (encode_hc(src, n, level) if high_compression else encode(src, n))
+    if not packed or len(packed) >= n:
+        return struct.pack("<II", n, n) + src
+    return struct.pack("<II", n, len(packed)) + packed
+
+
+def wrap(src: bytes) -> bytes:
+    """Compress and wrap with the 8-byte envelope."""
+    return _wrap(bytes(src), False, HC_LEVEL_DEFAULT)
+
+
+def wrap_hc(src: bytes, level: int = HC_LEVEL_DEFAULT) -> bytes:
+    """High-compression wrap."""
+    return _wrap(bytes(src), True, level)
+
+
+def unwrap(src: bytes) -> bytes:
+    """Inverse of wrap/wrap_hc (`LZ4Codec.Unwrap`, `LZ4Codec.cs:574-599`)."""
+    src = bytes(src)
+    if len(src) < WRAP_HEADER_LENGTH:
+        raise ValueError("input buffer size is invalid")
+    original_length, payload_length = struct.unpack_from("<II", src, 0)
+    if payload_length > len(src) - WRAP_HEADER_LENGTH:
+        raise ValueError("input buffer size is invalid or has been corrupted")
+    payload = src[WRAP_HEADER_LENGTH:WRAP_HEADER_LENGTH + payload_length]
+    if payload_length >= original_length:
+        return payload
+    return decode(payload, original_length)

@@ -1,0 +1,195 @@
+"""Engine registry: the framework's equivalent of lz4net's ILZ4Service seam.
+
+The reference keeps eight engine slots probed at static-init time, each
+gated by an exception-swallowing `Try` and a round-trip `AutoTest`, then
+picks encoder/decoder/encoderHC independently from benchmark-derived
+preference lists (`/root/reference/src/LZ4/LZ4Codec.cs:54-239`,
+`ILZ4Service.cs:30-36`).  This module reproduces that design with three
+engines:
+
+* ``native``            -- C++ CPU oracle (the LZ4mm/libLZ4 analogue)
+* ``tpu``               -- batched Pallas/XLA engine (the performance engine)
+* ``python-reference``  -- pure-Python safe engine (always available)
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Protocol
+
+from .constants import HC_LEVEL_DEFAULT, maximum_output_length
+
+_log = logging.getLogger("lz4net_tpu")
+
+
+class Lz4Service(Protocol):
+    """The codec engine protocol (reference `ILZ4Service.cs:30-36`)."""
+
+    codec_name: str
+
+    def encode(self, src: bytes, dst_maxlen: int) -> bytes:
+        """Greedy LZ4; returns b"" when output would exceed dst_maxlen."""
+
+    def encode_hc(self, src: bytes, dst_maxlen: int,
+                  level: int = HC_LEVEL_DEFAULT) -> bytes:
+        """LZ4HC; returns b"" when output would exceed dst_maxlen."""
+
+    def decode(self, src: bytes, output_length: int) -> bytes:
+        """Known-output-length decode; raises on corrupt input."""
+
+    def decode_unknown(self, src: bytes, max_output_length: int) -> bytes:
+        """Unknown-output-length (hardened) decode; raises on corrupt input."""
+
+
+@dataclass
+class _Registry:
+    services: dict[str, Lz4Service] = field(default_factory=dict)
+    encoder: Optional[Lz4Service] = None
+    decoder: Optional[Lz4Service] = None
+    encoder_hc: Optional[Lz4Service] = None
+    initialized: bool = False
+
+
+_registry = _Registry()
+
+# Preference orders per role (the reference hard-codes benchmark-derived
+# orders per bitness, `LZ4Codec.cs:103-167`).  The TPU engine leads for bulk
+# decode; the native C++ oracle leads for encode until the TPU encoder
+# overtakes it; python-reference is the always-works fallback.
+ENCODER_PREFERENCE = ("native", "tpu", "python-reference")
+DECODER_PREFERENCE = ("tpu", "native", "python-reference")
+ENCODER_HC_PREFERENCE = ("native", "tpu", "python-reference")
+
+# AutoTest corpus: compressible text (the reference uses 5x Lorem Ipsum,
+# `LZ4Codec.cs:173-239`) plus a short incompressible tail.
+_AUTOTEST_TEXT = (
+    b"Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do "
+    b"eiusmod tempor incididunt ut labore et dolore magna aliqua. Ut enim "
+    b"ad minim veniam, quis nostrud exercitation ullamco laboris nisi ut "
+    b"aliquip ex ea commodo consequat. "
+) * 5
+_AUTOTEST_RANDOM = bytes((i * 2654435761) >> 23 & 0xFF for i in range(997))
+
+
+def auto_test(service: Lz4Service) -> bool:
+    """Round-trip self-test each engine must pass before registration:
+    LZ4 and LZ4HC, with both known- and unknown-length decodes
+    (mirrors `LZ4Codec.AutoTest`, `LZ4Codec.cs:173-239`)."""
+    try:
+        for data in (_AUTOTEST_TEXT, _AUTOTEST_RANDOM):
+            budget = maximum_output_length(len(data))
+            for enc in (service.encode,
+                        lambda d, m: service.encode_hc(d, m)):
+                packed = enc(data, budget)
+                if not packed:
+                    return False
+                if service.decode(packed, len(data)) != data:
+                    return False
+                if service.decode_unknown(packed, len(data)) != data:
+                    return False
+        return True
+    except Exception:  # noqa: BLE001 - probe failures must never propagate
+        _log.debug("auto_test failed for %s", getattr(service, "codec_name", "?"),
+                   exc_info=True)
+        return False
+
+
+def register(name: str, service: Lz4Service, *, self_test: bool = True) -> bool:
+    """Register an engine after (optionally) self-testing it."""
+    if self_test and not auto_test(service):
+        _log.warning("engine %s failed AutoTest; not registered", name)
+        return False
+    _registry.services[name] = service
+    return True
+
+
+def _try(probe: Callable[[], None]) -> None:
+    """Exception-swallowing engine probe (reference `Try`,
+    `LZ4Codec.cs:244-254`)."""
+    try:
+        probe()
+    except Exception:  # noqa: BLE001
+        _log.debug("engine probe failed", exc_info=True)
+
+
+def _probe_python() -> None:
+    from .models.service_adapters import PythonReferenceService
+    register("python-reference", PythonReferenceService())
+
+
+def _probe_native() -> None:
+    from .models.service_adapters import NativeService
+    register("native", NativeService())
+
+
+def _probe_tpu() -> None:
+    from .models.service_adapters import TpuService
+    register("tpu", TpuService())
+
+
+def _select(preference: tuple[str, ...]) -> Optional[Lz4Service]:
+    for name in preference:
+        svc = _registry.services.get(name)
+        if svc is not None:
+            return svc
+    return None
+
+
+def initialize(force: bool = False) -> None:
+    """Probe every engine and select encoder/decoder/encoderHC.
+
+    Mirrors the reference cctor: probes are exception-swallowed and
+    AutoTest-gated; a fully empty registry raises (the reference throws
+    NotSupportedException, `LZ4Codec.cs:97-100`)."""
+    if _registry.initialized and not force:
+        return
+    _registry.services.clear()
+    _try(_probe_native)
+    _try(_probe_tpu)
+    _try(_probe_python)
+
+    _registry.encoder = _select(ENCODER_PREFERENCE)
+    _registry.decoder = _select(DECODER_PREFERENCE)
+    _registry.encoder_hc = _select(ENCODER_HC_PREFERENCE)
+    _registry.initialized = True
+
+    if _registry.encoder is None or _registry.decoder is None \
+            or _registry.encoder_hc is None:
+        raise RuntimeError("No LZ4 engine could be registered")
+
+
+def encoder() -> Lz4Service:
+    initialize()
+    return _registry.encoder
+
+
+def decoder() -> Lz4Service:
+    initialize()
+    return _registry.decoder
+
+
+def encoder_hc() -> Lz4Service:
+    initialize()
+    return _registry.encoder_hc
+
+
+def service(name: str) -> Lz4Service:
+    """Fetch a specific engine by name (used by tests and benchmarks)."""
+    initialize()
+    return _registry.services[name]
+
+
+def available_services() -> dict[str, Lz4Service]:
+    initialize()
+    return dict(_registry.services)
+
+
+def codec_name() -> str:
+    """"enc/dec/hcHC" triple, like the reference `LZ4Codec.CodecName`
+    (`LZ4Codec.cs:298-308`)."""
+    initialize()
+    def name(svc: Optional[Lz4Service]) -> str:
+        return "<none>" if svc is None else svc.codec_name
+    return "{}/{}/{}HC".format(name(_registry.encoder), name(_registry.decoder),
+                               name(_registry.encoder_hc))
