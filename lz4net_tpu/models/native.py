@@ -2,7 +2,9 @@
 
 The native library plays the role of the reference's mixed-mode engine
 (LZ4mm + libLZ4 static lib, `/root/reference/src/libLZ4/`): the fastest
-CPU path and the bit-exactness oracle for the TPU kernels.
+CPU path and the bit-exactness oracle for the TPU kernels.  Buffers cross
+the boundary zero-copy: `bytes` inputs go through c_char_p and outputs are
+written straight into `bytearray`s via from_buffer.
 """
 
 from __future__ import annotations
@@ -12,11 +14,16 @@ import os
 import subprocess
 import threading
 
+import numpy as np
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblz4tpu.so"))
 
 _lib = None
 _lock = threading.Lock()
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -36,20 +43,34 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        src = os.path.join(_NATIVE_DIR, "lz4_oracle.cpp")
+        if (not os.path.exists(_LIB_PATH)
+                or (os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))):
+            if not _build():
+                return None
         lib = ctypes.CDLL(_LIB_PATH)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_ubp = ctypes.c_char_p          # zero-copy view of bytes inputs
+        out_p = ctypes.POINTER(ctypes.c_char)
         lib.lz4tpu_compress.restype = ctypes.c_int
-        lib.lz4tpu_compress.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+        lib.lz4tpu_compress.argtypes = [c_ubp, ctypes.c_int, out_p, ctypes.c_int]
         lib.lz4tpu_compress_hc.restype = ctypes.c_int
-        lib.lz4tpu_compress_hc.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
-                                           ctypes.c_int]
+        lib.lz4tpu_compress_hc.argtypes = [c_ubp, ctypes.c_int, out_p,
+                                           ctypes.c_int, ctypes.c_int]
         lib.lz4tpu_decompress.restype = ctypes.c_int
-        lib.lz4tpu_decompress.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+        lib.lz4tpu_decompress.argtypes = [c_ubp, ctypes.c_int, out_p,
+                                          ctypes.c_int]
         lib.lz4tpu_decompress_unknown.restype = ctypes.c_int
-        lib.lz4tpu_decompress_unknown.argtypes = [u8p, ctypes.c_int, u8p,
+        lib.lz4tpu_decompress_unknown.argtypes = [c_ubp, ctypes.c_int, out_p,
                                                   ctypes.c_int]
+        lib.lz4tpu_compress_batch.restype = None
+        lib.lz4tpu_compress_batch.argtypes = [
+            c_ubp, _i64p, _i32p, out_p, _i64p, ctypes.c_int32, _i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.lz4tpu_decompress_batch.restype = None
+        lib.lz4tpu_decompress_batch.argtypes = [
+            c_ubp, _i64p, _i32p, out_p, _i64p, _i32p, _i32p,
+            ctypes.c_int32, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -58,69 +79,148 @@ def is_available() -> bool:
     return _load() is not None
 
 
-def _as_u8p(buf) -> "ctypes.POINTER(ctypes.c_uint8)":
-    return ctypes.cast(ctypes.cast(buf, ctypes.c_void_p),
-                       ctypes.POINTER(ctypes.c_uint8))
+_scratch = threading.local()
+
+
+def _out_buffer(size: int):
+    """Reusable per-thread output scratch.
+
+    First-touch page faults are extremely slow in this VM (DAMON proactive
+    reclaim returns idle pages to the host), so allocating a fresh buffer
+    per call costs more than the codec work itself.  The scratch grows
+    geometrically and is kept warm across calls.
+    """
+    size = max(1, size)
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or len(buf) < size:
+        cap = max(size, 2 * len(buf) if buf is not None else size)
+        buf = bytearray(cap)
+        _scratch.buf = buf
+    ptr = (ctypes.c_char * len(buf)).from_buffer(buf)
+    return buf, ptr
 
 
 def compress_block(src: bytes, dst_maxlen: int | None = None) -> bytes:
     from ..constants import maximum_output_length
     lib = _load()
+    src = bytes(src)
     n = len(src)
     if n == 0:
         return b""
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(n)
-    dst = ctypes.create_string_buffer(max(1, dst_maxlen))
-    written = lib.lz4tpu_compress(
-        _as_u8p(ctypes.create_string_buffer(src, n)), n,
-        _as_u8p(dst), dst_maxlen)
+    buf, ptr = _out_buffer(dst_maxlen)
+    written = lib.lz4tpu_compress(src, n, ptr, dst_maxlen)
     if written <= 0:
         return b""
-    return dst.raw[:written]
+    del ptr
+    return bytes(memoryview(buf)[:written])
 
 
 def compress_block_hc(src: bytes, dst_maxlen: int | None = None,
                       attempts: int = 256) -> bytes:
     from ..constants import maximum_output_length
     lib = _load()
+    src = bytes(src)
     n = len(src)
     if n == 0:
         return b""
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(n)
-    dst = ctypes.create_string_buffer(max(1, dst_maxlen))
-    written = lib.lz4tpu_compress_hc(
-        _as_u8p(ctypes.create_string_buffer(src, n)), n,
-        _as_u8p(dst), dst_maxlen, attempts)
+    buf, ptr = _out_buffer(dst_maxlen)
+    written = lib.lz4tpu_compress_hc(src, n, ptr, dst_maxlen, attempts)
     if written <= 0:
         return b""
-    return dst.raw[:written]
+    del ptr
+    return bytes(memoryview(buf)[:written])
 
 
 def decompress_block(src: bytes, output_length: int) -> bytes:
     from .reference import CorruptedBlockError
     lib = _load()
+    src = bytes(src)
     if output_length == 0:
         return b""
-    dst = ctypes.create_string_buffer(max(1, output_length))
-    consumed = lib.lz4tpu_decompress(
-        _as_u8p(ctypes.create_string_buffer(src, len(src))), len(src),
-        _as_u8p(dst), output_length)
+    buf, ptr = _out_buffer(output_length)
+    consumed = lib.lz4tpu_decompress(src, len(src), ptr, output_length)
     if consumed < 0:
         raise CorruptedBlockError(f"native decode failed at {-consumed}")
-    return dst.raw[:output_length]
+    del ptr
+    return bytes(memoryview(buf)[:output_length])
 
 
 def decompress_block_unknown(src: bytes, max_output_length: int) -> bytes:
     from .reference import CorruptedBlockError
     lib = _load()
+    src = bytes(src)
     if len(src) == 0:
         raise CorruptedBlockError("empty input")
-    dst = ctypes.create_string_buffer(max(1, max_output_length))
-    written = lib.lz4tpu_decompress_unknown(
-        _as_u8p(ctypes.create_string_buffer(src, len(src))), len(src),
-        _as_u8p(dst), max_output_length)
+    buf, ptr = _out_buffer(max_output_length)
+    written = lib.lz4tpu_decompress_unknown(src, len(src), ptr,
+                                            max_output_length)
     if written < 0:
         raise CorruptedBlockError(f"native decode failed at {-written}")
-    return dst.raw[:written]
+    del ptr
+    return bytes(memoryview(buf)[:written])
+
+
+# --- batched (multithreaded) paths -----------------------------------------
+
+def compress_blocks(src: bytes, offsets, lengths, *, hc_attempts: int = 0,
+                    n_threads: int = 0) -> tuple[bytes, np.ndarray]:
+    """Compress many independent blocks of one contiguous buffer in
+    parallel.  Returns (packed_payloads_concatenated, sizes array).
+
+    Every block gets the worst-case output budget so compression always
+    succeeds; incompressible blocks come back *expanded* (sizes[i] >=
+    lengths[i]) and the caller applies the store-raw rule, exactly like the
+    stream layer's incompressible-passthrough (`LZ4Stream.cs:248-255`).
+    """
+    from ..constants import maximum_output_length
+    lib = _load()
+    src = bytes(src)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n_blocks = len(offsets)
+    if n_blocks == 0:
+        return b"", np.zeros(0, np.int32)
+    max_len = int(lengths.max())
+    budget = maximum_output_length(max_len)
+    dst_offsets = np.arange(n_blocks, dtype=np.int64) * budget
+    buf, ptr = _out_buffer(n_blocks * budget)
+    results = np.zeros(n_blocks, np.int32)
+    lib.lz4tpu_compress_batch(src, offsets, lengths, ptr, dst_offsets,
+                              budget, results, n_blocks, n_threads,
+                              hc_attempts)
+    del ptr
+    view = memoryview(buf)
+    parts = [bytes(view[i * budget:i * budget + max(0, int(results[i]))])
+             for i in range(n_blocks)]
+    return b"".join(parts), results
+
+
+def decompress_blocks(src: bytes, offsets, lengths, out_lengths, *,
+                      n_threads: int = 0) -> tuple[bytes, np.ndarray]:
+    """Decode many independent blocks in parallel; returns (decoded bytes
+    concatenated in input order, per-block status array)."""
+    from .reference import CorruptedBlockError
+    lib = _load()
+    src = bytes(src)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    out_lengths = np.ascontiguousarray(out_lengths, dtype=np.int32)
+    n_blocks = len(offsets)
+    if n_blocks == 0:
+        return b"", np.zeros(0, np.int32)
+    dst_offsets = np.zeros(n_blocks, np.int64)
+    np.cumsum(out_lengths[:-1], out=dst_offsets[1:])
+    total = int(out_lengths.sum())
+    buf, ptr = _out_buffer(total)
+    results = np.zeros(n_blocks, np.int32)
+    lib.lz4tpu_decompress_batch(src, offsets, lengths, ptr, dst_offsets,
+                                out_lengths, results, n_blocks, n_threads)
+    del ptr
+    if (results < 0).any():
+        bad = int(np.argmax(results < 0))
+        raise CorruptedBlockError(f"native batch decode failed at block {bad}")
+    return bytes(buf[:total]), results
