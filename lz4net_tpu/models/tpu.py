@@ -9,9 +9,18 @@ from __future__ import annotations
 
 
 def is_available() -> bool:
+    """True when a real TPU backend is reachable (or forced via env).
+
+    On CPU-only JAX the Pallas kernels still run through the interpreter —
+    correct but far too slow to register as a production engine; tests use
+    `ops.decode_pallas.PallasDecoder(interpret=True)` directly instead.
+    """
+    import os
+    if os.environ.get("LZ4NET_TPU_FORCE") == "1":
+        return True
     try:
-        import jax  # noqa: F401
-        return len(jax.devices()) > 0
+        import jax
+        return any("TPU" in d.device_kind.upper() for d in jax.devices())
     except Exception:  # noqa: BLE001
         return False
 
@@ -37,8 +46,16 @@ def compress_block_hc(src: bytes, dst_maxlen: int | None = None,
 
 
 def decompress_block(src: bytes, output_length: int) -> bytes:
-    from ..ops import decode as tpu_decode
-    return tpu_decode.decompress_block(src, output_length)
+    from ..ops import decode_pallas
+    return decode_pallas.decompress_block(src, output_length)
+
+
+def decompress_blocks(blocks, out_lens):
+    """Batched known-length decode on the TPU kernel (the fast path the
+    stream/parallel layers use)."""
+    from ..ops import decode_pallas
+    return decode_pallas.PallasDecoder().decode_batch(list(blocks),
+                                                      list(out_lens))
 
 
 def decompress_block_unknown(src: bytes, max_output_length: int) -> bytes:

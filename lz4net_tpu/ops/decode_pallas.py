@@ -1,0 +1,344 @@
+"""Pallas TPU kernel: batched known-length LZ4 block decode.
+
+Design (round 1 — the "sequencer" kernel):
+
+A TPU v5e core has no hardware gather and one scalar unit, so the decode is
+split by domain:
+
+* the *parse* (token / length-extension / offset walk) runs in the scalar
+  unit over an SMEM-resident copy of the compressed bytes (one int32 lane
+  per byte; a full 64 KB block's compressed form fits in <300 KB of SMEM);
+* the *data movement* (literal copies, match copies) runs in the vector
+  unit over VMEM rows of 128 byte-lanes, using dynamically-built barrel
+  rotations (7 select+static-roll steps) for unaligned access, and a
+  doubling periodic-fill for overlapping matches (offset < 128), which is
+  the vectorised equivalent of the reference's SecureCopy semantics
+  (`src/LZ4ps/LZ4Codec.Safe.cs:255-314`).
+
+Blocks are independent (the format's 64 KB window never crosses our block
+boundary), so the grid is one program per block and batches pipeline
+through the core; scaling beyond one core is the parallel layer's job
+(shard blocks over the mesh).
+
+The kernel trusts well-formed input (it is fed by the framework's own
+stream layer, which knows exact lengths) and reports (bytes_read,
+bytes_written) per block for host-side validation; hostile input goes to
+the hardened CPU decoder instead (`LZ4_uncompress_unknownOutputSize`
+analogue), mirroring the reference's safe/fast engine split.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+# ---------------------------------------------------------------------------
+# Vector helpers (all operate on [1, 128] int32 rows)
+# ---------------------------------------------------------------------------
+
+
+def _lanes_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+
+def _rot_left(row, amount):
+    """Rotate lanes left by a dynamic amount: out[i] = row[(i+amount)%128].
+
+    Implemented as a 7-stage barrel shifter of static rolls, since Mosaic
+    only supports static roll amounts.
+    """
+    for k in range(7):
+        step = 1 << k
+        rolled = pltpu.roll(row, LANES - step, axis=1)
+        row = jnp.where((amount & step) != 0, rolled, row)
+    return row
+
+
+def _rot_right(row, amount):
+    """Rotate lanes right by a dynamic amount: out[i] = row[(i-amount)%128]."""
+    for k in range(7):
+        step = 1 << k
+        rolled = pltpu.roll(row, step, axis=1)
+        row = jnp.where((amount & step) != 0, rolled, row)
+    return row
+
+
+def _read_span(ref, start):
+    """Return a [1,128] row holding bytes ref[start .. start+128) where
+    ``ref`` is an [rows,128] byte-lane array.  ``ref`` must be padded with
+    one extra row so the straddling read never goes out of bounds."""
+    r0 = start >> 7
+    phase = start & (LANES - 1)
+    row_a = ref[pl.ds(r0, 1), :]
+    row_b = ref[pl.ds(r0 + 1, 1), :]
+    a = _rot_left(row_a, phase)
+    b = _rot_left(row_b, phase)
+    return jnp.where(_lanes_iota() < (LANES - phase), a, b)
+
+
+def _write_span(ref, start, row, nbytes):
+    """Write row[0..nbytes) to byte positions ref[start .. start+nbytes),
+    nbytes <= 128.  ``ref`` needs one pad row for the straddle."""
+    r0 = start >> 7
+    phase = start & (LANES - 1)
+    w = _rot_right(row, phase)
+    lanes = _lanes_iota()
+    # first destination row: lanes [phase, min(128, phase+nbytes))
+    mask_a = (lanes >= phase) & (lanes < phase + nbytes)
+    cur_a = ref[pl.ds(r0, 1), :]
+    ref[pl.ds(r0, 1), :] = jnp.where(mask_a, w, cur_a)
+    # second destination row: lanes [0, phase+nbytes-128)
+    mask_b = lanes < (phase + nbytes - LANES)
+    cur_b = ref[pl.ds(r0 + 1, 1), :]
+    ref[pl.ds(r0 + 1, 1), :] = jnp.where(mask_b, w, cur_b)
+
+
+def _copy_span(src_ref, src_start, dst_ref, dst_start, length):
+    """Copy ``length`` bytes between byte-lane arrays in 128-byte chunks.
+
+    Chunks are written in ascending order, so a self-copy with
+    dst - src >= 128 (non-overlapping at chunk granularity) is safe.
+    """
+    nchunks = (length + LANES - 1) // LANES
+
+    def body(c, _):
+        offs = c * LANES
+        row = _read_span(src_ref, src_start + offs)
+        _write_span(dst_ref, dst_start + offs, row,
+                    jnp.minimum(LANES, length - offs))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def _fill_periodic(ref, src_start, period):
+    """Build a [1,128] row r with r[i] = bytes[src_start + (i % period)]
+    for period < 128, by prefix-doubling the valid span."""
+    pat = _read_span(ref, src_start)
+    lanes = _lanes_iota()
+    valid = period
+
+    def body(_, state):
+        pat, valid = state
+        shifted = _rot_right(pat, valid & (LANES - 1))
+        grown = jnp.where(lanes < valid, pat, shifted)
+        new_valid = jnp.minimum(valid * 2, LANES)
+        keep = valid >= LANES
+        return (jnp.where(keep, pat, grown),
+                jnp.where(keep, valid, new_valid))
+
+    pat, _ = jax.lax.fori_loop(0, 7, body, (pat, valid))
+    return pat
+
+
+def _copy_overlap(dst_ref, dst_start, offset, length):
+    """Overlapping match copy (offset < 128): periodic pattern replication,
+    the vector equivalent of byte-by-byte forward copying.
+
+    Chunks advance by the largest multiple of the period that fits in a row
+    (so every chunk starts at pattern phase 0 and the filled row can be
+    stored as-is; rotating a 128-lane row cannot express a phase shift of a
+    period that does not divide 128)."""
+    pat = _fill_periodic(dst_ref, dst_start - offset, offset)
+    stride = (LANES // offset) * offset
+    nchunks = (length + stride - 1) // stride
+
+    def body(c, _):
+        offs = c * stride
+        _write_span(dst_ref, dst_start + offs, pat,
+                    jnp.minimum(stride, length - offs))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# The decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(comp_vmem_blk, comp_smem_blk, lens_smem, out_block_ref,
+                   status_ref):
+    b = pl.program_id(0)
+    out_ref = out_block_ref.at[0]   # blocked spec is (1, drows, 128)
+    comp_vmem = comp_vmem_blk.at[0]  # vector-domain copy (literal source)
+    comp_smem = comp_smem_blk.at[0]  # scalar-domain copy (parse source)
+
+    comp_len = lens_smem[b, 0]
+    out_len = lens_smem[b, 1]
+
+    def byte_at(i):
+        return comp_smem[i >> 7, i & (LANES - 1)]
+
+    def read_ext(sp, base):
+        """Read 255-terminated length-extension bytes starting at sp."""
+        def cond(state):
+            _, _, last = state
+            return last == 255
+
+        def body(state):
+            sp, acc, _ = state
+            v = byte_at(sp)
+            return sp + 1, acc + v, v
+
+        sp, acc, _ = jax.lax.while_loop(cond, body, (sp, base, 255))
+        return sp, acc
+
+    def seq_cond(state):
+        sp, dp = state
+        return dp < out_len
+
+    def seq_body(state):
+        sp, dp = state
+        token = byte_at(sp)
+        sp = sp + 1
+
+        # literal run
+        lit_len = token >> 4
+        sp, lit_len = jax.lax.cond(
+            lit_len == 15, lambda s: read_ext(s, 15), lambda s: (s, lit_len),
+            sp)
+
+        @pl.when(lit_len > 0)
+        def _():
+            _copy_span(comp_vmem, sp, out_ref, dp, lit_len)
+
+        sp = sp + lit_len
+        dp = dp + lit_len
+
+        def do_match(sp, dp):
+            offset = byte_at(sp) | (byte_at(sp + 1) << 8)
+            sp = sp + 2
+            mlen = token & 15
+            sp, mlen = jax.lax.cond(
+                mlen == 15, lambda s: read_ext(s, 15), lambda s: (s, mlen),
+                sp)
+            mlen = mlen + 4
+
+            def overlap(_):
+                _copy_overlap(out_ref, dp, offset, mlen)
+                return 0
+
+            def direct(_):
+                _copy_span(out_ref, dp - offset, out_ref, dp, mlen)
+                return 0
+
+            jax.lax.cond(offset < LANES, overlap, direct, 0)
+            return sp, dp + mlen
+
+        # terminal literal run has no match part
+        sp, dp = jax.lax.cond(dp < out_len, do_match, lambda s, d: (s, d),
+                              sp, dp)
+        return sp, dp
+
+    sp, dp = jax.lax.while_loop(seq_cond, seq_body, (0, 0))
+    status_ref[b, 0] = sp
+    status_ref[b, 1] = dp
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@functools.partial(jax.jit, static_argnames=("crows", "drows", "interpret"))
+def _decode_batch_jit(comp, lens, crows, drows, interpret):
+    n_blocks = comp.shape[0]
+    grid = (n_blocks,)
+    kernel = pl.pallas_call(
+        _decode_kernel,
+        grid=grid,
+        in_specs=[
+            # the same compressed array is passed twice: once into VMEM for
+            # vector-domain literal copies, once into SMEM for the scalar
+            # parse; both auto-pipelined per grid step
+            pl.BlockSpec((1, crows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, crows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # lens [B, 2]
+        ],
+        out_specs=[
+            pl.BlockSpec((1, drows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # status: full array
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, drows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    out, status = kernel(comp, comp, lens)
+    return out, status
+
+
+def _out_reshape_kernel_squeeze(out3, drows):
+    return out3.reshape(out3.shape[0], drows * LANES)
+
+
+class PallasDecoder:
+    """Host-side wrapper: pads/uploads compressed blocks, launches the
+    kernel, validates per-block status, and reassembles bytes."""
+
+    def __init__(self, interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+
+    def decode_batch(self, blocks: list[bytes], out_lens: list[int]) -> list[bytes]:
+        """Decode independent compressed blocks; returns decoded payloads.
+
+        All blocks in one call share padded capacities (pad to the max),
+        which is the natural shape for stream chunks of one block size.
+        """
+        from ..models.reference import CorruptedBlockError
+
+        n = len(blocks)
+        if n == 0:
+            return []
+        max_c = max(len(b) for b in blocks)
+        max_d = max(out_lens)
+        crows = _cdiv(max_c, LANES) + 2
+        drows = _cdiv(max_d, LANES) + 2
+
+        comp = np.zeros((n, crows, LANES), np.int32)
+        lens = np.zeros((n, 2), np.int32)
+        for i, b in enumerate(blocks):
+            arr = np.frombuffer(b, np.uint8).astype(np.int32)
+            comp[i].reshape(-1)[:len(b)] = arr
+            lens[i, 0] = len(b)
+            lens[i, 1] = out_lens[i]
+
+        out3, status = _decode_batch_jit(jnp.asarray(comp), jnp.asarray(lens),
+                                         crows, drows, self.interpret)
+        out = np.asarray(out3, dtype=np.int32).reshape(n, drows * LANES)
+        status = np.asarray(status)
+
+        results = []
+        for i in range(n):
+            if int(status[i, 0]) != len(blocks[i]) or \
+                    int(status[i, 1]) != out_lens[i]:
+                raise CorruptedBlockError(
+                    f"TPU decode status mismatch on block {i}: "
+                    f"read {int(status[i, 0])}/{len(blocks[i])}, "
+                    f"wrote {int(status[i, 1])}/{out_lens[i]}")
+            results.append(out[i, :out_lens[i]].astype(np.uint8).tobytes())
+        return results
+
+
+_default_decoder: PallasDecoder | None = None
+
+
+def decompress_block(src: bytes, output_length: int) -> bytes:
+    """Single-block convenience entry used by the TpuService adapter."""
+    global _default_decoder
+    if _default_decoder is None:
+        _default_decoder = PallasDecoder()
+    return _default_decoder.decode_batch([bytes(src)], [output_length])[0]

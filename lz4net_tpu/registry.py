@@ -54,12 +54,32 @@ class _Registry:
 _registry = _Registry()
 
 # Preference orders per role (the reference hard-codes benchmark-derived
-# orders per bitness, `LZ4Codec.cs:103-167`).  The TPU engine leads for bulk
-# decode; the native C++ oracle leads for encode until the TPU encoder
-# overtakes it; python-reference is the always-works fallback.
-ENCODER_PREFERENCE = ("native", "tpu", "python-reference")
-DECODER_PREFERENCE = ("tpu", "native", "python-reference")
-ENCODER_HC_PREFERENCE = ("native", "tpu", "python-reference")
+# orders per bitness, `LZ4Codec.cs:103-167`).  On real TPU hardware the TPU
+# engine leads for bulk decode; elsewhere (CPU-only JAX runs the Pallas
+# kernels through the interpreter, which is correct but slow) the native
+# C++ oracle leads; python-reference is the always-works fallback.
+
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return any("TPU" in d.device_kind.upper() for d in jax.devices())
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _preferences() -> dict[str, tuple[str, ...]]:
+    if _on_tpu():
+        return {
+            "encode": ("native", "tpu", "python-reference"),
+            "decode": ("tpu", "native", "python-reference"),
+            "encode_hc": ("native", "tpu", "python-reference"),
+        }
+    return {
+        "encode": ("native", "python-reference", "tpu"),
+        "decode": ("native", "python-reference", "tpu"),
+        "encode_hc": ("native", "python-reference", "tpu"),
+    }
 
 # AutoTest corpus: compressible text (the reference uses 5x Lorem Ipsum,
 # `LZ4Codec.cs:173-239`) plus a short incompressible tail.
@@ -149,9 +169,10 @@ def initialize(force: bool = False) -> None:
     _try(_probe_tpu)
     _try(_probe_python)
 
-    _registry.encoder = _select(ENCODER_PREFERENCE)
-    _registry.decoder = _select(DECODER_PREFERENCE)
-    _registry.encoder_hc = _select(ENCODER_HC_PREFERENCE)
+    prefs = _preferences()
+    _registry.encoder = _select(prefs["encode"])
+    _registry.decoder = _select(prefs["decode"])
+    _registry.encoder_hc = _select(prefs["encode_hc"])
     _registry.initialized = True
 
     if _registry.encoder is None or _registry.decoder is None \

@@ -8,11 +8,19 @@ before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment may pre-register a real TPU backend at interpreter start
+# (sitecustomize), in which case the env var above is too late — force the
+# platform through the config API as well.  Tests must stay on the local
+# virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import random  # noqa: E402
 
