@@ -247,11 +247,11 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-@functools.partial(jax.jit, static_argnames=("crows", "drows", "interpret"))
-def _decode_batch_jit(comp, lens, crows, drows, interpret):
-    n_blocks = comp.shape[0]
+def build_decode_call(n_blocks: int, crows: int, drows: int, interpret: bool):
+    """Construct the pallas_call for a batch shape; also used per-shard by
+    the parallel layer (inside shard_map the grid covers the local shard)."""
     grid = (n_blocks,)
-    kernel = pl.pallas_call(
+    return pl.pallas_call(
         _decode_kernel,
         grid=grid,
         in_specs=[
@@ -275,6 +275,11 @@ def _decode_batch_jit(comp, lens, crows, drows, interpret):
         ],
         interpret=interpret,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("crows", "drows", "interpret"))
+def _decode_batch_jit(comp, lens, crows, drows, interpret):
+    kernel = build_decode_call(comp.shape[0], crows, drows, interpret)
     out, status = kernel(comp, comp, lens)
     return out, status
 

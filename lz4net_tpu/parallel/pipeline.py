@@ -1,0 +1,118 @@
+"""Data-parallel codec pipeline over a device mesh.
+
+Blocks are sharded over the mesh's ``blocks`` axis (each device decodes its
+shard with the Pallas kernel), preset dictionaries are replicated, and
+summary statistics are reduced with ``psum`` over ICI.  Outputs keep the
+block-major sharding, so gathering them to the host reconstructs frame
+order with no extra permutation — the "ordered gather" of the stream
+layer.
+
+Multi-host runs initialise `jax.distributed` first (`distributed.py`) and
+use exactly the same code: the mesh simply spans all processes' devices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.decode_pallas import LANES, build_decode_call, _cdiv
+from .mesh import BLOCK_AXIS, block_sharding, make_mesh
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def make_distributed_decode(mesh, n_blocks: int, crows: int, drows: int,
+                            interpret: bool | None = None):
+    """Build a jitted, mesh-sharded batched decode step.
+
+    Returns fn(comp [B, crows, 128] i32, lens [B, 2] i32) ->
+    (out [B, drows, 128] i32, status [B, 2] i32, total_bytes scalar).
+
+    ``total_bytes`` is a psum over the mesh — the cross-device reduction
+    every multi-chip step performs (and the dry-run exercises).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_dev = mesh.devices.size
+    if n_blocks % n_dev != 0:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide evenly over "
+                         f"{n_dev} devices; pad the batch")
+    local_blocks = n_blocks // n_dev
+    kernel = build_decode_call(local_blocks, crows, drows, interpret)
+
+    def shard_fn(comp, lens):
+        out, status = kernel(comp, comp, lens)
+        written = jnp.sum(status[:, 1])
+        total = jax.lax.psum(written, BLOCK_AXIS)
+        return out, status, total
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def pack_blocks(blocks: list[bytes], out_lens: list[int],
+                pad_to_multiple_of: int = 1):
+    """Host-side packing: blocks -> ([B, crows, 128] i32, [B, 2] i32).
+
+    Pads the batch with empty blocks to a device-count multiple; empty
+    blocks decode to zero bytes and are dropped on unpack.
+    """
+    n = len(blocks)
+    n_pad = (-n) % pad_to_multiple_of
+    blocks = list(blocks) + [b"\x00"] * n_pad    # token 0x00: empty literal run
+    out_lens = list(out_lens) + [0] * n_pad
+
+    max_c = max(len(b) for b in blocks)
+    max_d = max(max(out_lens), 1)
+    crows = _cdiv(max_c, LANES) + 2
+    drows = _cdiv(max_d, LANES) + 2
+    comp = np.zeros((len(blocks), crows, LANES), np.int32)
+    lens = np.zeros((len(blocks), 2), np.int32)
+    for i, b in enumerate(blocks):
+        comp[i].reshape(-1)[:len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = (len(b), out_lens[i])
+    return comp, lens, crows, drows, n
+
+
+def unpack_blocks(out, status, out_lens, n_real: int) -> list[bytes]:
+    """Validate statuses and slice decoded bytes back out (input order)."""
+    from ..models.reference import CorruptedBlockError
+    out = np.asarray(out).reshape(out.shape[0], -1)
+    status = np.asarray(status)
+    results = []
+    for i in range(n_real):
+        if int(status[i, 1]) != out_lens[i]:
+            raise CorruptedBlockError(
+                f"block {i}: wrote {int(status[i, 1])}/{out_lens[i]}")
+        results.append(out[i, :out_lens[i]].astype(np.uint8).tobytes())
+    return results
+
+
+def distributed_decode(blocks: list[bytes], out_lens: list[int],
+                       mesh=None) -> list[bytes]:
+    """End-to-end helper: shard independent blocks over the mesh, decode,
+    gather in order."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    comp, lens, crows, drows, n_real = pack_blocks(blocks, out_lens, n_dev)
+    step = make_distributed_decode(mesh, comp.shape[0], crows, drows)
+    sharding = block_sharding(mesh)
+    comp_d = jax.device_put(comp, sharding)
+    lens_d = jax.device_put(lens, sharding)
+    out, status, _total = step(comp_d, lens_d)
+    padded_lens = list(out_lens) + [0] * ((-len(blocks)) % n_dev)
+    return unpack_blocks(out, status, padded_lens, n_real)
