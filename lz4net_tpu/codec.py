@@ -21,34 +21,55 @@ def codec_name() -> str:
     return registry.codec_name()
 
 
-def encode(src: bytes, dst_maxlen: int | None = None) -> bytes:
+def _dict_engine():
+    """Engine module for preset-dictionary paths (native preferred)."""
+    from .models import native
+    if native.is_available():
+        return native
+    from .models import reference
+    return reference
+
+
+def encode(src: bytes, dst_maxlen: int | None = None, *,
+           dictionary: bytes | None = None) -> bytes:
     """Greedy (fast) LZ4 block compression.
 
     Returns b"" when ``dst_maxlen`` is given and the compressed form would
     not fit (the reference's Encode-returns-0 convention).  With the default
     ``dst_maxlen=None`` the worst-case bound is used and compression always
-    succeeds.
+    succeeds.  ``dictionary`` enables preset-dictionary matching (decode
+    must supply the same bytes).
     """
     if len(src) == 0:
         return b""
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(len(src))
+    if dictionary:
+        return _dict_engine().compress_block_dict(dictionary, bytes(src),
+                                                  dst_maxlen)
     return registry.encoder().encode(bytes(src), dst_maxlen)
 
 
 def encode_hc(src: bytes, dst_maxlen: int | None = None,
-              level: int = HC_LEVEL_DEFAULT) -> bytes:
+              level: int = HC_LEVEL_DEFAULT, *,
+              dictionary: bytes | None = None) -> bytes:
     """LZ4HC block compression.  ``level`` (1..9) maps onto the chain-search
     budget; level 9 reproduces the reference's fixed-effort parse."""
     if len(src) == 0:
         return b""
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(len(src))
+    if dictionary:
+        from .constants import MAX_NB_ATTEMPTS, hc_level_attempts
+        attempts = MAX_NB_ATTEMPTS if level >= 9 else hc_level_attempts(level)
+        return _dict_engine().compress_block_hc_dict(
+            dictionary, bytes(src), dst_maxlen, attempts)
     return registry.encoder_hc().encode_hc(bytes(src), dst_maxlen, level)
 
 
 def decode(src: bytes, output_length: int | None = None, *,
-           max_output_length: int | None = None) -> bytes:
+           max_output_length: int | None = None,
+           dictionary: bytes | None = None) -> bytes:
     """Decompress one LZ4 block.
 
     ``output_length`` set -> known-output-length decode (fast path, used by
@@ -56,6 +77,13 @@ def decode(src: bytes, output_length: int | None = None, *,
     ``max_output_length`` must be given -> hardened unknown-length decode.
     Mirrors `LZ4Codec.Decode(..., knownOutputLength)` (`LZ4Codec.cs:430-463`).
     """
+    if dictionary:
+        if output_length is None:
+            raise ValueError("dictionary decode requires output_length")
+        if output_length == 0:
+            return b""
+        return _dict_engine().decompress_block_dict(bytes(src), dictionary,
+                                                    output_length)
     if output_length is not None:
         if output_length == 0:
             return b""

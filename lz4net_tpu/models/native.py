@@ -63,6 +63,16 @@ def _load():
         lib.lz4tpu_decompress_unknown.restype = ctypes.c_int
         lib.lz4tpu_decompress_unknown.argtypes = [c_ubp, ctypes.c_int, out_p,
                                                   ctypes.c_int]
+        lib.lz4tpu_compress_dict.restype = ctypes.c_int
+        lib.lz4tpu_compress_dict.argtypes = [c_ubp, ctypes.c_int, ctypes.c_int,
+                                             out_p, ctypes.c_int]
+        lib.lz4tpu_compress_hc_dict.restype = ctypes.c_int
+        lib.lz4tpu_compress_hc_dict.argtypes = [c_ubp, ctypes.c_int,
+                                                ctypes.c_int, out_p,
+                                                ctypes.c_int, ctypes.c_int]
+        lib.lz4tpu_decompress_dict.restype = ctypes.c_int
+        lib.lz4tpu_decompress_dict.argtypes = [c_ubp, ctypes.c_int, out_p,
+                                               ctypes.c_int, ctypes.c_int]
         lib.lz4tpu_compress_batch.restype = None
         lib.lz4tpu_compress_batch.argtypes = [
             c_ubp, _i64p, _i32p, out_p, _i64p, ctypes.c_int32, _i32p,
@@ -162,6 +172,61 @@ def decompress_block_unknown(src: bytes, max_output_length: int) -> bytes:
         raise CorruptedBlockError(f"native decode failed at {-written}")
     del ptr
     return bytes(memoryview(buf)[:written])
+
+
+# --- preset-dictionary paths ------------------------------------------------
+
+def compress_block_dict(dictionary: bytes, data: bytes,
+                        dst_maxlen: int | None = None) -> bytes:
+    from ..constants import maximum_output_length
+    lib = _load()
+    dictionary, data = bytes(dictionary), bytes(data)
+    if not data:
+        return b""
+    if dst_maxlen is None:
+        dst_maxlen = maximum_output_length(len(data))
+    src = dictionary + data
+    buf, ptr = _out_buffer(dst_maxlen)
+    written = lib.lz4tpu_compress_dict(src, len(dictionary), len(src), ptr,
+                                       dst_maxlen)
+    del ptr
+    return bytes(memoryview(buf)[:written]) if written > 0 else b""
+
+
+def compress_block_hc_dict(dictionary: bytes, data: bytes,
+                           dst_maxlen: int | None = None,
+                           attempts: int = 256) -> bytes:
+    from ..constants import maximum_output_length
+    lib = _load()
+    dictionary, data = bytes(dictionary), bytes(data)
+    if not data:
+        return b""
+    if dst_maxlen is None:
+        dst_maxlen = maximum_output_length(len(data))
+    src = dictionary + data
+    buf, ptr = _out_buffer(dst_maxlen)
+    written = lib.lz4tpu_compress_hc_dict(src, len(dictionary), len(src), ptr,
+                                          dst_maxlen, attempts)
+    del ptr
+    return bytes(memoryview(buf)[:written]) if written > 0 else b""
+
+
+def decompress_block_dict(src: bytes, dictionary: bytes,
+                          output_length: int) -> bytes:
+    from .reference import CorruptedBlockError
+    lib = _load()
+    src, dictionary = bytes(src), bytes(dictionary)
+    if output_length == 0:
+        return b""
+    dict_len = len(dictionary)
+    buf, ptr = _out_buffer(dict_len + output_length)
+    buf[:dict_len] = dictionary
+    consumed = lib.lz4tpu_decompress_dict(src, len(src), ptr, dict_len,
+                                          output_length)
+    if consumed < 0:
+        raise CorruptedBlockError(f"native dict decode failed at {-consumed}")
+    del ptr
+    return bytes(memoryview(buf)[dict_len:dict_len + output_length])
 
 
 # --- batched (multithreaded) paths -----------------------------------------

@@ -18,11 +18,40 @@ def is_available() -> bool:
     import os
     if os.environ.get("LZ4NET_TPU_FORCE") == "1":
         return True
-    try:
+    return probe_tpu_devices()
+
+
+_probe_result: bool | None = None
+
+
+def probe_tpu_devices(timeout_s: float = 20.0) -> bool:
+    """Timeout-guarded TPU device probe.
+
+    `jax.devices()` can block indefinitely when a remote TPU tunnel is
+    wedged; a hung probe must not take down registry initialisation (the
+    same graceful-degradation contract as the reference's Try-swallowed
+    engine probes, `LZ4Codec.cs:244-254`).  The probe runs in a daemon
+    thread and a timeout counts as "unavailable".
+    """
+    global _probe_result
+    if _probe_result is not None:
+        return _probe_result
+    import concurrent.futures
+
+    def _probe() -> bool:
         import jax
         return any("TPU" in d.device_kind.upper() for d in jax.devices())
-    except Exception:  # noqa: BLE001
-        return False
+
+    try:
+        pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="lz4tpu-probe")
+        try:
+            _probe_result = pool.submit(_probe).result(timeout=timeout_s)
+        finally:
+            pool.shutdown(wait=False)
+    except Exception:  # noqa: BLE001 - timeout or backend failure
+        _probe_result = False
+    return _probe_result
 
 
 def _oracle():

@@ -593,6 +593,256 @@ int compress_hc_core(const uint8_t* src, int src_len, uint8_t* dst,
     return dp;
 }
 
+// --- preset-dictionary variants --------------------------------------------
+// Our extension over the reference vintage (r88/r93 has no dictionary API):
+// the dictionary bytes logically precede the block, matches may reach back
+// across the boundary (still within the 64 KB window), and the compressed
+// output covers only the data region.  Any format-valid parse decodes on
+// any LZ4 decoder that prepends the same dictionary.
+
+int compress_dict_core(const uint8_t* src, int data_start, int total_len,
+                       uint8_t* dst, int dst_maxlen) {
+    std::vector<int32_t> table((size_t)1 << HASH_LOG, 0);
+    const int src_end = total_len;
+    const int mflimit = src_end - MFLIMIT;
+    const int cap = src_end - LASTLITERALS;
+    const int dst_last1 = dst_maxlen - (1 + LASTLITERALS);
+    const int dst_last3 = dst_maxlen - (2 + 1 + LASTLITERALS);
+
+    auto hash_at = [&](int i) -> uint32_t {
+        return (load32(src + i) * HASH_MULT) >> HASH_ADJUST;
+    };
+
+    // seed the table with every dictionary position
+    for (int i = 0; i + 4 <= data_start; i++) table[hash_at(i)] = i;
+
+    int anchor = data_start;
+    int dp = 0;
+
+    if (total_len - data_start >= MINLENGTH) {
+        int p = data_start;
+        uint32_t h_fwd = hash_at(p);
+        bool scanning = true;
+
+        while (scanning) {
+            int attempts = (1 << SKIPSTRENGTH) + 3;
+            int p_fwd = p;
+            int ref;
+            for (;;) {
+                uint32_t h = h_fwd;
+                int step = attempts++ >> SKIPSTRENGTH;
+                p = p_fwd;
+                p_fwd = p + step;
+                if (p_fwd > mflimit) { scanning = false; break; }
+                h_fwd = hash_at(p_fwd);
+                ref = table[h];
+                table[h] = p;
+                if (ref >= p - MAX_DISTANCE && eq4(src + ref, src + p) &&
+                    ref < p) break;
+            }
+            if (!scanning) break;
+
+            while (p > anchor && ref > 0 && src[p - 1] == src[ref - 1]) {
+                p--; ref--;
+            }
+
+            int lit_len = p - anchor;
+            int token_pos = dp++;
+            if (dp + lit_len + (lit_len >> 8) > dst_last3) return 0;
+            emit_literal_run(dst, dp, token_pos, lit_len, src, anchor);
+
+            for (;;) {
+                int offset = p - ref;
+                dst[dp++] = (uint8_t)offset;
+                dst[dp++] = (uint8_t)(offset >> 8);
+
+                p += MINMATCH;
+                ref += MINMATCH;
+                anchor = p;
+                p += match_extension(src, p, ref, cap);
+
+                int mlen = p - anchor;
+                if (dp + (mlen >> 8) > dst_last1) return 0;
+                emit_match_length(dst, dp, token_pos, mlen);
+
+                if (p > mflimit) { anchor = p; scanning = false; break; }
+
+                table[hash_at(p - 2)] = p - 2;
+                uint32_t h = hash_at(p);
+                int r2 = table[h];
+                table[h] = p;
+                if (r2 > p - (MAX_DISTANCE + 1) && r2 < p &&
+                    eq4(src + r2, src + p)) {
+                    token_pos = dp++;
+                    dst[token_pos] = 0;
+                    ref = r2;
+                    continue;
+                }
+                anchor = p++;
+                h_fwd = hash_at(p);
+                break;
+            }
+        }
+    }
+
+    {
+        int run = src_end - anchor;
+        if (dp + run + 1 + (run + 255 - RUN_MASK) / 255 > dst_maxlen) return 0;
+        emit_last_literals_unchecked(dst, dp, src, anchor, src_end);
+    }
+    return dp;
+}
+
+int compress_hc_dict_core(const uint8_t* src, int data_start, int total_len,
+                          uint8_t* dst, int dst_maxlen, int attempts) {
+    HcCtx ctx(src, total_len, attempts);
+    const int mflimit = total_len - MFLIMIT;
+    int anchor = data_start;
+    int dp = 0;
+    int p = data_start;            // find_best_match inserts the dictionary
+    int ref = 0;
+    int start2 = 0, ref2 = 0, ml2 = 0;
+    int start3 = 0, ref3 = 0, ml3 = 0;
+
+    if (p == 0) p = 1;             // position 0 can never self-match
+
+    while (p < mflimit) {
+        int ml = ctx.find_best_match(p, ref);
+        if (ml == 0) { p++; continue; }
+        int start0 = p, ref0 = ref, ml0 = ml;
+
+    search2:
+        if (p + ml < mflimit)
+            ml2 = ctx.find_wider_match(p + ml - 2, p + 1, ml, ref2, start2);
+        else
+            ml2 = ml;
+        if (ml2 == ml) {
+            if (!hc_emit(dst, dp, src, anchor, p, ml, ref, dst_maxlen)) return 0;
+            continue;
+        }
+        if (start0 < p && start2 < p + ml0) { p = start0; ref = ref0; ml = ml0; }
+        if (start2 - p < 3) { ml = ml2; p = start2; ref = ref2; goto search2; }
+
+    search3:
+        if (start2 - p < OPTIMAL_ML) {
+            int new_ml = std::min(ml, OPTIMAL_ML);
+            if (p + new_ml > start2 + ml2 - MINMATCH)
+                new_ml = start2 - p + ml2 - MINMATCH;
+            int corr = new_ml - (start2 - p);
+            if (corr > 0) { start2 += corr; ref2 += corr; ml2 -= corr; }
+        }
+        if (start2 + ml2 < mflimit)
+            ml3 = ctx.find_wider_match(start2 + ml2 - 3, start2, ml2, ref3,
+                                       start3);
+        else
+            ml3 = ml2;
+        if (ml3 == ml2) {
+            if (start2 < p + ml) ml = start2 - p;
+            if (!hc_emit(dst, dp, src, anchor, p, ml, ref, dst_maxlen)) return 0;
+            p = start2;
+            if (!hc_emit(dst, dp, src, anchor, p, ml2, ref2, dst_maxlen)) return 0;
+            continue;
+        }
+        if (start3 < p + ml + 3) {
+            if (start3 >= p + ml) {
+                if (start2 < p + ml) {
+                    int corr = p + ml - start2;
+                    start2 += corr; ref2 += corr; ml2 -= corr;
+                    if (ml2 < MINMATCH) { start2 = start3; ref2 = ref3; ml2 = ml3; }
+                }
+                if (!hc_emit(dst, dp, src, anchor, p, ml, ref, dst_maxlen))
+                    return 0;
+                p = start3; ref = ref3; ml = ml3;
+                start0 = start2; ref0 = ref2; ml0 = ml2;
+                goto search2;
+            }
+            start2 = start3; ref2 = ref3; ml2 = ml3;
+            goto search3;
+        }
+        if (start2 < p + ml) {
+            if (start2 - p < ML_MASK) {
+                if (ml > OPTIMAL_ML) ml = OPTIMAL_ML;
+                if (p + ml > start2 + ml2 - MINMATCH)
+                    ml = start2 - p + ml2 - MINMATCH;
+                int corr = ml - (start2 - p);
+                if (corr > 0) { start2 += corr; ref2 += corr; ml2 -= corr; }
+            } else {
+                ml = start2 - p;
+            }
+        }
+        if (!hc_emit(dst, dp, src, anchor, p, ml, ref, dst_maxlen)) return 0;
+        p = start2; ref = ref2; ml = ml2;
+        start2 = start3; ref2 = ref3; ml2 = ml3;
+        goto search3;
+    }
+
+    {
+        int run = total_len - anchor;
+        if (dp + run + 1 + (run + 255 - RUN_MASK) / 255 > dst_maxlen) return 0;
+        emit_last_literals_unchecked(dst, dp, src, anchor, total_len);
+    }
+    return dp;
+}
+
+int decompress_dict_core(const uint8_t* src, int src_len, uint8_t* dst,
+                         int dict_len, int out_len) {
+    int sp = 0;
+    int dp = dict_len;
+    const int dst_end = dict_len + out_len;
+    const int dst_copylen = dst_end - COPYLENGTH;
+    const int dst_lastlits = dst_end - LASTLITERALS;
+
+    for (;;) {
+        if (sp >= src_len) return -sp;
+        uint32_t token = src[sp++];
+
+        int length = (int)(token >> ML_BITS);
+        if (length == RUN_MASK) {
+            int b;
+            do {
+                if (sp >= src_len) return -sp;
+                b = src[sp++];
+                length += b;
+            } while (b == 255);
+        }
+
+        int lit_end = dp + length;
+        if (lit_end > dst_copylen) {
+            if (lit_end != dst_end) return -sp;
+            if (sp + length > src_len) return -sp;
+            std::memcpy(dst + dp, src + sp, (size_t)length);
+            sp += length;
+            break;
+        }
+        if (sp + length > src_len) return -sp;
+        std::memcpy(dst + dp, src + sp, (size_t)length);
+        sp += length;
+        dp = lit_end;
+
+        if (sp + 2 > src_len) return -sp;
+        int offset = src[sp] | (src[sp + 1] << 8);
+        sp += 2;
+        int ref = dp - offset;
+        if (ref < 0 || offset == 0) return -sp;
+
+        int mlen = (int)(token & ML_MASK);
+        if (mlen == ML_MASK) {
+            int b;
+            do {
+                if (sp >= src_len) return -sp;
+                b = src[sp++];
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += MINMATCH;
+
+        if (dp + mlen > dst_lastlits) return -sp;
+        secure_copy(dst, dp, ref, mlen);
+        dp += mlen;
+    }
+    return sp;
+}
+
 }  // namespace
 
 // --- C ABI -----------------------------------------------------------------
@@ -623,6 +873,34 @@ int lz4tpu_decompress(const uint8_t* src, int src_len, uint8_t* dst,
 int lz4tpu_decompress_unknown(const uint8_t* src, int src_len, uint8_t* dst,
                               int dst_maxlen) {
     return decompress_unknown(src, src_len, dst, dst_maxlen);
+}
+
+// Preset-dictionary entry points.  For compression, src holds dict||data
+// and data begins at dict_len; for decompression, dst holds the dictionary
+// in its first dict_len bytes and receives out_len decoded bytes after it.
+int lz4tpu_compress_dict(const uint8_t* src, int dict_len, int total_len,
+                         uint8_t* dst, int dst_maxlen) {
+    if (total_len - dict_len <= 0) return 0;
+    if (dict_len <= 0)
+        return lz4tpu_compress(src, total_len, dst, dst_maxlen);
+    return compress_dict_core(src, dict_len, total_len, dst, dst_maxlen);
+}
+
+int lz4tpu_compress_hc_dict(const uint8_t* src, int dict_len, int total_len,
+                            uint8_t* dst, int dst_maxlen, int attempts) {
+    if (total_len - dict_len <= 0) return 0;
+    if (attempts <= 0) attempts = 256;
+    if (dict_len <= 0)
+        return lz4tpu_compress_hc(src, total_len, dst, dst_maxlen, attempts);
+    return compress_hc_dict_core(src, dict_len, total_len, dst, dst_maxlen,
+                                 attempts);
+}
+
+int lz4tpu_decompress_dict(const uint8_t* src, int src_len, uint8_t* dst,
+                           int dict_len, int out_len) {
+    if (out_len == 0) return 0;
+    if (dict_len <= 0) return lz4tpu_decompress(src, src_len, dst, out_len);
+    return decompress_dict_core(src, src_len, dst, dict_len, out_len);
 }
 
 // Batched, multithreaded fan-out over independent blocks: the CPU analogue

@@ -61,11 +61,8 @@ _registry = _Registry()
 
 
 def _on_tpu() -> bool:
-    try:
-        import jax
-        return any("TPU" in d.device_kind.upper() for d in jax.devices())
-    except Exception:  # noqa: BLE001
-        return False
+    from .models.tpu import probe_tpu_devices
+    return probe_tpu_devices()
 
 
 def _preferences() -> dict[str, tuple[str, ...]]:
@@ -115,11 +112,30 @@ def auto_test(service: Lz4Service) -> bool:
         return False
 
 
+def _auto_test_with_timeout(service: Lz4Service, timeout_s: float) -> bool:
+    """AutoTest in a daemon thread: a wedged accelerator backend must not
+    hang registry initialisation (a hang counts as a failed probe)."""
+    import concurrent.futures
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="lz4tpu-autotest")
+    try:
+        return pool.submit(auto_test, service).result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        _log.warning("AutoTest timed out for %s",
+                     getattr(service, "codec_name", "?"))
+        return False
+    finally:
+        pool.shutdown(wait=False)
+
+
 def register(name: str, service: Lz4Service, *, self_test: bool = True) -> bool:
     """Register an engine after (optionally) self-testing it."""
-    if self_test and not auto_test(service):
-        _log.warning("engine %s failed AutoTest; not registered", name)
-        return False
+    if self_test:
+        import os
+        timeout_s = float(os.environ.get("LZ4NET_AUTOTEST_TIMEOUT", "120"))
+        if not _auto_test_with_timeout(service, timeout_s):
+            _log.warning("engine %s failed AutoTest; not registered", name)
+            return False
     _registry.services[name] = service
     return True
 
