@@ -64,7 +64,20 @@ def _oracle():
 
 
 def compress_block(src: bytes, dst_maxlen: int | None = None) -> bytes:
+    from ..ops.encode_pallas import MAX_ENCODE_BLOCK
+    if len(src) <= MAX_ENCODE_BLOCK:
+        from ..ops import encode_pallas
+        return encode_pallas.compress_block(src, dst_maxlen)
+    # larger blocks stay on the host oracle until the vectorised encoder
+    # lands (the TPU kernel's SMEM budget caps its block size at 48 KB)
     return _oracle().compress_block(src, dst_maxlen)
+
+
+def compress_blocks(blocks, dst_maxlens=None):
+    """Batched greedy encode on the TPU kernel (blocks <= 48 KB)."""
+    from ..ops import encode_pallas
+    return encode_pallas.PallasEncoder().encode_batch(
+        list(blocks), dst_maxlens)
 
 
 def compress_block_hc(src: bytes, dst_maxlen: int | None = None,

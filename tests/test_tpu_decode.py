@@ -34,8 +34,7 @@ CASES = {
     "rle2": b"ab" * 2000,
     "period7": b"abcdefg" * 500,
     "period100": bytes(range(100)) * 40,
-    "incompressible": bytes(random.Random(5).getrandbits(8)
-                            for _ in range(2500)),
+    "incompressible": bytes(map(random.Random(5).randrange, [256] * 2500)),
     "tiny": b"x" * 13,
     "pure_literal_tail": b"0123456789abcdef" * 4,
     "long_literal_run": b"".join(hashlib.sha256(bytes([i])).digest()
