@@ -87,17 +87,34 @@ def compress_block_hc(src: bytes, dst_maxlen: int | None = None,
     return _oracle().compress_block_hc(src, dst_maxlen, attempts)
 
 
+def _decoder():
+    """Select the TPU decode implementation.
+
+    ``vector`` (default on real TPU): the fully-vectorised pipeline —
+    ~3-4x the sequencer kernel on hardware and batch-friendly.
+    ``pallas``: the scalar sequencer kernel (also the interpret-mode
+    default off-TPU, where the vector pipeline's big einsums are slow
+    on CPU).  Override with LZ4NET_TPU_DECODER=vector|pallas.
+    """
+    import os
+    choice = os.environ.get("LZ4NET_TPU_DECODER")
+    if choice is None:
+        choice = "vector" if probe_tpu_devices() else "pallas"
+    if choice == "vector":
+        from ..ops.decode_vector import VectorDecoder
+        return VectorDecoder()
+    from ..ops.decode_pallas import PallasDecoder
+    return PallasDecoder()
+
+
 def decompress_block(src: bytes, output_length: int) -> bytes:
-    from ..ops import decode_pallas
-    return decode_pallas.decompress_block(src, output_length)
+    return _decoder().decode_batch([bytes(src)], [output_length])[0]
 
 
 def decompress_blocks(blocks, out_lens):
     """Batched known-length decode on the TPU kernel (the fast path the
     stream/parallel layers use)."""
-    from ..ops import decode_pallas
-    return decode_pallas.PallasDecoder().decode_batch(list(blocks),
-                                                      list(out_lens))
+    return _decoder().decode_batch(list(blocks), list(out_lens))
 
 
 def decompress_block_unknown(src: bytes, max_output_length: int) -> bytes:

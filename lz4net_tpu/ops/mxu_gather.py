@@ -43,19 +43,18 @@ def _one_hot_bf16(idx, depth):
     return (idx[..., None] == iota).astype(jnp.bfloat16)
 
 
-def gather_bytes(table, idx, chunk: int = 2048):
-    """Gather byte values (0..255): out[..., k] = table[..., idx[..., k]].
-
-    table: [..., N] int32 byte values, N a multiple of 128.
-    idx:   [..., K] int32 indices into the last axis of ``table``.
-    Returns [..., K] int32.
-
-    Out-of-range indices must be pre-clamped by the caller.
-    """
-    n = table.shape[-1]
+def _gather_planes(planes, idx, chunk: int):
+    """Core gather: planes [..., P, N] of byte values (exact in bf16),
+    idx [..., K] -> [..., P, K] int32.  One one-hot construction serves all
+    P planes (they ride as extra lanes in the stage-1 matmul)."""
+    n = planes.shape[-1]
+    p = planes.shape[-2]
     assert n % LANE == 0, n
     tiles = n // LANE
-    tbl = table.reshape(table.shape[:-1] + (tiles, LANE)).astype(jnp.bfloat16)
+    # [..., tiles, P*LANE]: plane-major lane blocks per tile
+    tbl = jnp.moveaxis(
+        planes.reshape(planes.shape[:-2] + (p, tiles, LANE)), -3, -2)
+    tbl = tbl.reshape(planes.shape[:-2] + (tiles, p * LANE)).astype(jnp.bfloat16)
 
     k = idx.shape[-1]
     pad = (-k) % chunk
@@ -70,31 +69,97 @@ def gather_bytes(table, idx, chunk: int = 2048):
         hi = ix >> 7
         lo = ix & (LANE - 1)
         oh_hi = _one_hot_bf16(hi, tiles)              # [..., chunk, tiles]
-        rows = jnp.einsum("...ct,...tl->...cl", oh_hi, tbl,
+        rows = jnp.einsum("...ct,...tm->...cm", oh_hi, tbl,
                           preferred_element_type=jnp.float32)
+        rows = rows.reshape(rows.shape[:-1] + (p, LANE))
         oh_lo = _one_hot_bf16(lo, LANE).astype(jnp.float32)
-        return jnp.sum(rows * oh_lo, axis=-1)         # [..., chunk]
+        return jnp.sum(rows * oh_lo[..., None, :], axis=-1)  # [..., chunk, P]
 
     out = jax.lax.map(per_chunk, jnp.arange(nchunks))
-    # lax.map stacks on axis 0: [nchunks, ..., chunk] -> [..., K]
-    out = jnp.moveaxis(out, 0, -2).reshape(idx.shape[:-1] + (-1,))
-    out = out[..., :k] if pad else out
+    # [nchunks, ..., chunk, P] -> [..., P, K]
+    out = jnp.moveaxis(out, 0, -3)
+    out = out.reshape(idx.shape[:-1] + (-1, p))
+    out = jnp.moveaxis(out, -1, -2)
+    if pad:
+        out = out[..., :k]
     return out.astype(jnp.int32)
 
 
-def gather_i32(table, idx, bits: int = 24, chunk: int = 2048):
-    """Gather wider integers (< 2^bits) by byte planes.
+def gather_bytes(table, idx, chunk: int = 2048):
+    """Gather byte values (0..255): out[..., k] = table[..., idx[..., k]].
 
-    Used for position/index tables (e.g. pointer doubling over a 64 K
-    window needs 17-bit values)."""
+    table: [..., N] int32 byte values, N a multiple of 128.
+    idx:   [..., K] int32 indices into the last axis of ``table``.
+    Returns [..., K] int32.
+
+    Out-of-range indices must be pre-clamped by the caller.  Byte values
+    are exact in bf16 products with f32 accumulation, so the matmuls run
+    at full MXU rate.
+    """
+    return _gather_planes(table[..., None, :], idx, chunk)[..., 0, :]
+
+
+def gather_i32(table, idx, bits: int = 24, chunk: int = 2048):
+    """Gather wider integers (< 2^bits) by byte planes sharing one one-hot
+    construction (positions for pointer doubling need 17+ bits)."""
     nbytes = (bits + 7) // 8
+    planes = jnp.stack([(table >> (8 * p)) & 0xFF for p in range(nbytes)],
+                       axis=-2)
+    vals = _gather_planes(planes, idx, chunk)
     out = jnp.zeros(idx.shape, jnp.int32)
-    for plane in range(nbytes):
-        vals = gather_bytes((table >> (8 * plane)) & 0xFF, idx, chunk)
-        out = out | (vals << (8 * plane))
+    for p in range(nbytes):
+        out = out | (vals[..., p, :] << (8 * p))
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def gather_bytes_jit(table, idx, chunk: int = 2048):
     return gather_bytes(table, idx, chunk)
+
+
+def scatter_add(idx, weights, depth: int, chunk: int = 2048):
+    """MXU-routed scatter-add: out[..., d] = sum_k weights[..., k] where
+    idx[..., k] == d.
+
+    Same two-level decomposition as the gather, with the einsum transposed:
+    ``out[h, l] = sum_k w[k] * onehot_hi(idx)[k, h] * onehot_lo(idx)[k, l]``.
+    Weights are split into byte planes so every matmul carries only exact
+    bf16 values at full MXU rate; weights must be non-negative ints < 2^24.
+
+    depth must be a multiple of 128.  Out-of-range indices must be
+    pre-clamped; to drop an element, zero its weight.
+    """
+    assert depth % LANE == 0, depth
+    tiles = depth // LANE
+
+    k = idx.shape[-1]
+    pad = (-k) % chunk
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
+        weights = jnp.concatenate(
+            [weights,
+             jnp.zeros(weights.shape[:-1] + (pad,), weights.dtype)], axis=-1)
+    nchunks = idx.shape[-1] // chunk
+    idx_c = idx.reshape(idx.shape[:-1] + (nchunks, chunk))
+    w_c = weights.reshape(weights.shape[:-1] + (nchunks, chunk))
+
+    def per_chunk(c):
+        ix = idx_c[..., c, :]
+        hi = ix >> 7
+        lo = ix & (LANE - 1)
+        oh_hi = _one_hot_bf16(hi, tiles)
+        oh_lo = _one_hot_bf16(lo, LANE)
+        w = w_c[..., c, :]
+        acc = None
+        for p in range(3):
+            wp = ((w >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+            part = jnp.einsum("...k,...kh,...kl->...hl", wp, oh_hi, oh_lo,
+                              preferred_element_type=jnp.float32)
+            part = part.astype(jnp.int32) << (8 * p)
+            acc = part if acc is None else acc + part
+        return acc
+
+    parts = jax.lax.map(per_chunk, jnp.arange(nchunks))
+    out = jnp.sum(parts, axis=0)
+    return out.reshape(out.shape[:-2] + (depth,))
