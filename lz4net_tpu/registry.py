@@ -180,10 +180,16 @@ def initialize(force: bool = False) -> None:
     NotSupportedException, `LZ4Codec.cs:97-100`)."""
     if _registry.initialized and not force:
         return
+    import os
+    disabled = set(filter(None, os.environ.get(
+        "LZ4NET_DISABLE_ENGINES", "").split(",")))
     _registry.services.clear()
-    _try(_probe_native)
-    _try(_probe_tpu)
-    _try(_probe_python)
+    if "native" not in disabled:
+        _try(_probe_native)
+    if "tpu" not in disabled:
+        _try(_probe_tpu)
+    if "python-reference" not in disabled:
+        _try(_probe_python)
 
     prefs = _preferences()
     _registry.encoder = _select(prefs["encode"])

@@ -151,6 +151,17 @@ def silesia_like(total_size: int = 16 << 20, seed: int = 0) -> bytes:
     if key in _CACHE:
         return _CACHE[key]
 
+    # disk cache: corpus generation is pure-Python-slow and benchmark
+    # subprocesses must not pay it repeatedly
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".corpus_cache")
+    cache_file = os.path.join(cache_dir, f"silesia_{total_size}_{seed}.bin")
+    if os.path.exists(cache_file):
+        data = open(cache_file, "rb").read()
+        if len(data) == total_size:
+            _CACHE[key] = data
+            return data
+
     real = os.environ.get("SILESIA_DIR")
     if real and os.path.isdir(real):
         files = sorted(glob.glob(os.path.join(real, "*")))
@@ -170,6 +181,14 @@ def silesia_like(total_size: int = 16 << 20, seed: int = 0) -> bytes:
     if len(data) < total_size:
         data += _text(rng, total_size - len(data))
     _CACHE[key] = data
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_file + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, cache_file)
+    except OSError:
+        pass
     return data
 
 
