@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.decode_pallas import LANES, build_decode_call, _cdiv
 from .mesh import BLOCK_AXIS, block_sharding, make_mesh
@@ -58,7 +61,7 @@ def make_distributed_decode(mesh, n_blocks: int, crows: int, drows: int,
         shard_fn, mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 

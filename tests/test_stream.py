@@ -130,3 +130,23 @@ def test_stream_multiple_flushes(make_test_data):
     stream.write(data2)
     stream.close()
     assert decompress_stream(sink.getvalue()) == data1 + data2
+
+
+def test_stream_concatenated_frames_resume():
+    """Chunk independence makes the stream format resumable: decoding a
+    concatenation of two complete framed streams yields both payloads
+    (the checkpoint/resume property, SURVEY.md §5)."""
+    a = b"first segment " * 500
+    b = b"second segment " * 500
+    framed = compress_stream(a, block_size=2048) + \
+        compress_stream(b, block_size=2048)
+    assert decompress_stream(framed) == a + b
+
+
+def test_stream_reader_stops_at_clean_chunk_boundary():
+    data = b"payload " * 1000
+    framed = compress_stream(data, block_size=4096)
+    src = io.BytesIO(framed + b"")  # exact boundary EOF
+    with LZ4Stream(src, LZ4StreamMode.DECOMPRESS) as stream:
+        assert stream.read() == data
+        assert stream.read(10) == b""  # clean EOF, not an error
