@@ -66,6 +66,36 @@ def make_distributed_decode(mesh, n_blocks: int, crows: int, drows: int,
     return jax.jit(mapped)
 
 
+def make_distributed_encode(mesh, n_blocks: int, srows: int, orows: int,
+                            interpret: bool | None = None):
+    """Mesh-sharded batched greedy encode (blocks <= 48 KB per the encode
+    kernel's SMEM budget).  Returns fn(src [B, srows, 128], lens [B, 2]) ->
+    (out [B, orows, 128], status [B, 2], total_compressed scalar)."""
+    from ..ops.encode_pallas import build_encode_call
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n_dev = mesh.devices.size
+    if n_blocks % n_dev != 0:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide evenly over "
+                         f"{n_dev} devices; pad the batch")
+    kernel = build_encode_call(n_blocks // n_dev, srows, orows, interpret)
+
+    def shard_fn(src, lens):
+        out, status = kernel(src, lens)
+        written = jnp.sum(jnp.maximum(status[:, 0], 0))
+        total = jax.lax.psum(written, BLOCK_AXIS)
+        return out, status, total
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def pack_blocks(blocks: list[bytes], out_lens: list[int],
                 pad_to_multiple_of: int = 1):
     """Host-side packing: blocks -> ([B, crows, 128] i32, [B, 2] i32).
