@@ -98,14 +98,15 @@ def _bench_vector(blocks, packed):
     """Vectorised pipeline: fixed sub-batch shape, looped over the corpus."""
     import jax
     import jax.numpy as jnp
-    from lz4net_tpu.ops.decode_vector import LANE, _cdiv, \
+    from lz4net_tpu.ops.decode_vector import BCH, CH, LANE, _cdiv, \
         decode_batch_vectorized
 
     out_lens = [len(b) for b in blocks]
     max_c = max(len(p) for p in packed)
-    C = _cdiv(max_c + 1, LANE) * LANE
-    D = _cdiv(max(out_lens) + 1, LANE) * LANE
-    S_cap = _cdiv(C // 3 + 2, LANE) * LANE
+    C = _cdiv(max_c + 1, BCH) * BCH
+    D = _cdiv(max(out_lens) + 1, CH) * CH
+    S_cap = _cdiv(C // 5 + 2, LANE) * LANE
+    E_cap = 2 * S_cap
     B = VECTOR_SUB_BATCH
     n = len(packed)
     n_sub = n // B
@@ -122,21 +123,21 @@ def _bench_vector(blocks, packed):
     ol_d = jax.device_put(jnp.asarray(ol))
 
     def one_pass():
-        totals = []
+        stats = []
         for s in range(n_sub):
-            _out, total = decode_batch_vectorized(
-                comp_d[s], cl_d[s], ol_d[s], C, D, S_cap)
-            totals.append(total)
-        return totals[-1]
+            _out, total, ok = decode_batch_vectorized(
+                comp_d[s], cl_d[s], ol_d[s], C, D, S_cap, E_cap, 2048)
+            stats.append((total, ok))
+        return stats[-1]
 
-    t = np.asarray(one_pass())          # compile + first + validate tail
-    if not (t == ol[n_sub - 1]).all():
-        raise RuntimeError("vector decode totals mismatch")
+    total, ok = one_pass()              # compile + first + validate tail
+    if not np.asarray(ok).all() or not (np.asarray(total) == ol[-1]).all():
+        raise RuntimeError("vector decode totals/ok mismatch")
 
     def run(passes):
         t0 = time.perf_counter()
         for _ in range(passes):
-            total = one_pass()
+            total, _ok = one_pass()
         np.asarray(total)
         return time.perf_counter() - t0
 

@@ -69,11 +69,16 @@ def _gather_planes(planes, idx, chunk: int):
         hi = ix >> 7
         lo = ix & (LANE - 1)
         oh_hi = _one_hot_bf16(hi, tiles)              # [..., chunk, tiles]
-        rows = jnp.einsum("...ct,...tm->...cm", oh_hi, tbl,
-                          preferred_element_type=jnp.float32)
-        rows = rows.reshape(rows.shape[:-1] + (p, LANE))
         oh_lo = _one_hot_bf16(lo, LANE).astype(jnp.float32)
-        return jnp.sum(rows * oh_lo[..., None, :], axis=-1)  # [..., chunk, P]
+        tbl_p = tbl.reshape(tbl.shape[:-1] + (p, LANE))
+        # one fused matmul+reduce per plane; a combined [*, chunk, P*LANE]
+        # rows tensor defeats XLA's epilogue fusion (bandwidth-bound)
+        outs = []
+        for pi in range(p):
+            rows = jnp.einsum("...ct,...tm->...cm", oh_hi, tbl_p[..., pi, :],
+                              preferred_element_type=jnp.float32)
+            outs.append(jnp.sum(rows * oh_lo, axis=-1))
+        return jnp.stack(outs, axis=-1)               # [..., chunk, P]
 
     out = jax.lax.map(per_chunk, jnp.arange(nchunks))
     # [nchunks, ..., chunk, P] -> [..., P, K]

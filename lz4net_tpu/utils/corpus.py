@@ -42,15 +42,42 @@ _TAGS = ["item", "record", "entry", "field", "value", "name", "id", "data",
          "node", "attr", "meta", "ref"]
 
 
+def _vocab(rng: random.Random, n: int = 4096) -> list:
+    """Deterministic pseudo-English vocabulary.  A 186-word vocabulary
+    (the first revision of this generator) produces pathological LZ4
+    statistics — every word matches a few bytes back, yielding ~3.5
+    compressed bytes per sequence where real Dickens/webster average
+    ~7-9.  A few thousand distinct words restores realistic literal-run
+    and match-length distributions."""
+    syll = ("a an ar as at be ca co con da de di do en er es ex fa fi "
+            "ga ge ha he hi in is it la le li lo ma me mi mo mu na ne "
+            "ni no nu or ou pa pe pi po pre pro ra re ri ro ru sa se "
+            "si so su ta te ti to tra tri tu un ur us va ve vi vo").split()
+    words = list(_WORDS)
+    seen = set(words)
+    while len(words) < n:
+        w = "".join(rng.choice(syll) for _ in range(rng.randint(2, 4)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 def _text(rng: random.Random, size: int) -> bytes:
-    """Dickens/webster-like English text (ratio ~0.55-0.65 under fast LZ4)."""
+    """Dickens/webster-like English text (ratio ~0.55-0.65 under fast
+    LZ4).  Words are drawn Zipf-like from a few thousand candidates so
+    match/literal statistics resemble real English, not a loop of 186
+    stock words."""
+    words = _vocab(rng)
+    nw = len(words)
     out = []
     n = 0
     while n < size:
         sentence = []
         for _ in range(rng.randint(5, 18)):
-            w = rng.choice(_WORDS)
-            sentence.append(w)
+            # Zipf-ish rank sampling: rank ~ floor(nw^u), u uniform
+            r = int(nw ** rng.random()) - 1
+            sentence.append(words[r])
         s = " ".join(sentence).capitalize() + ". "
         out.append(s)
         n += len(s)
@@ -152,10 +179,10 @@ def silesia_like(total_size: int = 16 << 20, seed: int = 0) -> bytes:
         return _CACHE[key]
 
     # disk cache: corpus generation is pure-Python-slow and benchmark
-    # subprocesses must not pay it repeatedly
+    # subprocesses must not pay it repeatedly (v2: realistic text vocab)
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".corpus_cache")
-    cache_file = os.path.join(cache_dir, f"silesia_{total_size}_{seed}.bin")
+    cache_file = os.path.join(cache_dir, f"silesia_v2_{total_size}_{seed}.bin")
     if os.path.exists(cache_file):
         data = open(cache_file, "rb").read()
         if len(data) == total_size:
