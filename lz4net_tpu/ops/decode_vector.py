@@ -224,16 +224,27 @@ def _mark_tokens(g3, entries, nseg):
 # full pipeline
 # ---------------------------------------------------------------------------
 
+def _chk(*arrays):
+    """Tiny checksum forcing evaluation of every input (phase profiling)."""
+    acc = jnp.int32(0)
+    for a in arrays:
+        acc = acc + jnp.sum(a.astype(jnp.int32) & 0xFFFF)
+    return acc
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("C", "D", "S_cap", "E_cap", "k2_cap"))
+                   static_argnames=("C", "D", "S_cap", "E_cap", "k2_cap",
+                                    "upto"))
 def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
-                            k2_cap=2048):
+                            k2_cap=2048, upto=99):
     """Decode a batch of independent known-length blocks.
 
     comp: [B, C] int32 bytes (zero padded), comp_len/out_len: [B] int32.
     C % 4096 == 0, D % 8192 == 0; S_cap/E_cap are sequence/event caps
     (multiples of 128) — blocks exceeding them come back with ok=False.
     Returns (out [B, D] int32 bytes, total_out [B] int32, ok [B] bool).
+    ``upto`` truncates the pipeline after phase N and returns a checksum
+    (profiling only; production callers leave the default).
     """
     B = comp.shape[0]
     nseg = C // SEG
@@ -243,13 +254,21 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     # P1 — parse
     g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
         _speculative_parse(comp, C, k2_cap=k2_cap)
+    if upto == 1:
+        return _chk(g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1)
 
     # P2 — chain threading
     g3 = g.reshape(B, nseg, SEG)
     H3 = _segment_exits(g3, nseg)
+    if upto == 2:
+        return _chk(H3)
     entries = _thread_chain(H3, nseg)
+    if upto == 3:
+        return _chk(entries)
     mark = _mark_tokens(g3, entries, nseg)
     mark = mark * (i[None, :] < comp_len[:, None])
+    if upto == 4:
+        return _chk(mark)
 
     # P3 — sequence records
     n_seqs = jnp.sum(mark, axis=1)
@@ -283,6 +302,9 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     total_out = jnp.sum(
         jnp.where(valid_seq & (out_start_s < out_len[:, None]), lit_len_s, 0)
         + jnp.where(match_ok, mlen_s, 0), axis=1)
+    if upto == 5:
+        return _chk(off_s, out_start_s, lit_src_s, match_ok, lit_ok,
+                    total_out, n_seqs)
 
     # P4 — piecewise-constant per-byte payload via jump scatter
     E = 2 * S_cap
@@ -311,6 +333,8 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
                             D, bits=21)
     payload_o = jnp.cumsum(sj - BIASJ * ind, axis=1)
     ev_start_o = jax.lax.cummax(jnp.where(ind > 0, o[None, :], 0), axis=1)
+    if upto == 6:
+        return _chk(payload_o, ev_start_o, n_ev)
 
     # P5 — wavefront resolution
     is_lit_o = (payload_o & FLAG18) != 0
@@ -332,6 +356,8 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     msrc = jnp.clip(msrc, 0, D - 1)
     T0 = jnp.where(is_lit_o, VFLAG | (vals0 & 0xFF),
                    jnp.where(off_o > 0, msrc, VFLAG))
+    if upto == 7:
+        return _chk(T0)
 
     out = jnp.zeros((B, D), jnp.int32)
     k = jnp.arange(CH, dtype=jnp.int32)
