@@ -29,6 +29,14 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the remote compile service behind this
+# tunnel can take minutes per program (a trivial 256x256 matmul measured
+# 98 s cold), so compiled executables are cached on disk and reused
+# across bench runs / processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lz4net_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 BASELINE_GBPS = 2.0          # reference single-core decode, doc/readme.md:5
 CORPUS_MB = 16
 BLOCK_SIZE = 64 * 1024
@@ -125,7 +133,7 @@ def _bench_vector(blocks, packed):
     def one_pass():
         stats = []
         for s in range(n_sub):
-            _out, total, ok = decode_batch_vectorized(
+            _out, total, ok, *_stats = decode_batch_vectorized(
                 comp_d[s], cl_d[s], ol_d[s], C, D, S_cap, E_cap, 2048)
             stats.append((total, ok))
         return stats[-1]
@@ -172,10 +180,15 @@ def main():
         "corpus_mb": CORPUS_MB,
         "block_kb": BLOCK_SIZE // 1024,
     }
-    budgets = {"pallas": int(os.environ.get("BENCH_TIMEOUT_PALLAS", "420")),
-               "vector": int(os.environ.get("BENCH_TIMEOUT_VECTOR", "1500"))}
+    budgets = {"vector": int(os.environ.get("BENCH_TIMEOUT_VECTOR", "1500")),
+               "pallas": int(os.environ.get("BENCH_TIMEOUT_PALLAS", "420"))}
     runs = {}
     for impl, budget in budgets.items():
+        if impl == "pallas" and any("gbps" in r for r in runs.values()):
+            # the sequencer kernel is the fallback; don't spend its wall
+            # budget when the vector pipeline already produced a number
+            runs[impl] = {"skipped": "vector succeeded"}
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), f"--impl={impl}"],

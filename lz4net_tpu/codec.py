@@ -31,7 +31,7 @@ def _dict_engine():
 
 
 def encode(src: bytes, dst_maxlen: int | None = None, *,
-           dictionary: bytes | None = None) -> bytes:
+           dictionary: bytes | None = None, mode: str = "strict") -> bytes:
     """Greedy (fast) LZ4 block compression.
 
     Returns b"" when ``dst_maxlen`` is given and the compressed form would
@@ -39,6 +39,12 @@ def encode(src: bytes, dst_maxlen: int | None = None, *,
     ``dst_maxlen=None`` the worst-case bound is used and compression always
     succeeds.  ``dictionary`` enables preset-dictionary matching (decode
     must supply the same bytes).
+
+    ``mode="strict"`` (default) reproduces the reference parse
+    byte-for-byte across engines.  ``mode="fast"`` uses the vectorised
+    TPU encoder: format-valid output (decodes identically everywhere),
+    typically *smaller* than the reference parse, but not byte-identical
+    to it (SURVEY.md §7 step 4's two modes).
     """
     if len(src) == 0:
         return b""
@@ -47,6 +53,11 @@ def encode(src: bytes, dst_maxlen: int | None = None, *,
     if dictionary:
         return _dict_engine().compress_block_dict(dictionary, bytes(src),
                                                   dst_maxlen)
+    if mode == "fast":
+        from .models import tpu
+        if tpu.is_available():
+            return tpu.compress_blocks_fast([bytes(src)], [dst_maxlen])[0]
+        # no TPU: the strict engines below serve fast-mode requests too
     return registry.encoder().encode(bytes(src), dst_maxlen)
 
 
@@ -82,6 +93,9 @@ def decode(src: bytes, output_length: int | None = None, *,
             raise ValueError("dictionary decode requires output_length")
         if output_length == 0:
             return b""
+        dec = registry.decoder()
+        if hasattr(dec, "decode_dict"):
+            return dec.decode_dict(bytes(src), dictionary, output_length)
         return _dict_engine().decompress_block_dict(bytes(src), dictionary,
                                                     output_length)
     if output_length is not None:

@@ -33,6 +33,11 @@ class PythonReferenceService:
     def decode_unknown(self, src: bytes, max_output_length: int) -> bytes:
         return self._ref.decompress_block_unknown(src, max_output_length)
 
+    def decode_dict(self, src: bytes, dictionary: bytes,
+                    output_length: int) -> bytes:
+        return self._ref.decompress_block_dict(src, dictionary,
+                                               output_length)
+
 
 class NativeService:
     """C++ CPU oracle engine (`lz4net_tpu.models.native`), the analogue of
@@ -59,6 +64,11 @@ class NativeService:
 
     def decode_unknown(self, src: bytes, max_output_length: int) -> bytes:
         return self._nat.decompress_block_unknown(src, max_output_length)
+
+    def decode_dict(self, src: bytes, dictionary: bytes,
+                    output_length: int) -> bytes:
+        return self._nat.decompress_block_dict(src, dictionary,
+                                               output_length)
 
 
 class TpuService:
@@ -87,3 +97,8 @@ class TpuService:
 
     def decode_unknown(self, src: bytes, max_output_length: int) -> bytes:
         return self._tpu.decompress_block_unknown(src, max_output_length)
+
+    def decode_dict(self, src: bytes, dictionary: bytes,
+                    output_length: int) -> bytes:
+        return self._tpu.decompress_block_dict(src, dictionary,
+                                               output_length)

@@ -80,6 +80,18 @@ def compress_blocks(blocks, dst_maxlens=None):
         list(blocks), dst_maxlens)
 
 
+def compress_blocks_fast(blocks, dst_maxlens=None):
+    """Batched vectorised fast-mode encode (`ops.encode_vector`).
+
+    Output is format-valid and decodes bit-exactly on every engine, and
+    compressed size is competitive with (typically below) the reference
+    greedy parse — but it is not parse-identical, so strict cross-engine
+    byte-equality callers must use the default strict engines.
+    """
+    from ..ops.encode_vector import VectorEncoder
+    return VectorEncoder().encode_batch(list(blocks), dst_maxlens)
+
+
 def compress_block_hc(src: bytes, dst_maxlen: int | None = None,
                       level: int = 9) -> bytes:
     from ..constants import MAX_NB_ATTEMPTS, hc_level_attempts
@@ -118,5 +130,41 @@ def decompress_blocks(blocks, out_lens):
 
 
 def decompress_block_unknown(src: bytes, max_output_length: int) -> bytes:
-    # The hardened variable-length path stays on host for now.
+    """Unknown-output-length decode.
+
+    On the vector pipeline this runs on-device: the kernel certifies the
+    hardened-decoder invariants (consume-all-input, in-window matches,
+    in-input literal runs — `Safe64.Dirty.cs:665-798`) and anything it
+    cannot certify is re-decoded by the host hardened decoder, which
+    raises the reference's errors for malformed input.
+    """
+    dec = _decoder()
+    if hasattr(dec, "decode_batch_unknown"):
+        return dec.decode_batch_unknown([bytes(src)], [max_output_length])[0]
     return _oracle().decompress_block_unknown(src, max_output_length)
+
+
+def decompress_block_dict(src: bytes, dictionary: bytes,
+                          output_length: int) -> bytes:
+    """Known-length decode with a preset dictionary, on-device: the
+    dictionary window rides a prefix region of the kernel's output
+    domain (see `ops.decode_vector.decode_batch_vectorized`)."""
+    dec = _decoder()
+    try:
+        return dec.decode_batch([bytes(src)], [output_length],
+                                dictionary=dictionary)[0]
+    except TypeError:  # scalar sequencer path has no dictionary mode
+        return _oracle().decompress_block_dict(src, dictionary,
+                                               output_length)
+
+
+def decompress_blocks_dict(blocks, out_lens, dictionary: bytes):
+    """Batched preset-dictionary decode (one shared dictionary — the
+    broadcast pattern of SURVEY.md §2.10)."""
+    dec = _decoder()
+    try:
+        return dec.decode_batch(list(blocks), list(out_lens),
+                                dictionary=dictionary)
+    except TypeError:
+        return [_oracle().decompress_block_dict(b, dictionary, n)
+                for b, n in zip(blocks, out_lens)]

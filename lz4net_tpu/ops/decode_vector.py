@@ -59,8 +59,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..constants import MAX_DISTANCE
 from .banded import (banded_gather, full_gather, hier_gather, plane_join,
                      plane_split, scatter_add_planes, sorted_compact)
+
+# only the last 64 KB of a preset dictionary is reachable (offsets are
+# 16-bit; the closest in-block destination is the block start)
+MAX_DISTANCE_WINDOW = MAX_DISTANCE + 1
 
 LANE = 128
 SEG = 128
@@ -68,12 +73,21 @@ CH = 8192            # P5 wavefront chunk (output axis)
 BCH = 4096           # banding chunk for parse-side gathers
 BW = 8192            # parse band width
 
-BIAS17 = 1 << 17
-FLAG18 = 1 << 18
-BIASJ = 1 << 19
-VFLAG = 1 << 18      # value-terminal flag in P5 state words
+BIAS17 = 1 << 17     # comp-domain length clamp (blocks <= 96 KB)
 M17 = (1 << 17) - 1
-M18 = (1 << 18) - 1
+
+# Output-domain budgets.  Output positions live in [0, P + D) where P is
+# the (static, CH-aligned) preset-dictionary prefix and D the padded data
+# length; P + D must stay <= BIASD so literal-source deltas stay
+# non-negative after biasing.  2^18 = 256 KB covers a full 64 KB
+# dictionary window plus the 96 KB max block with room to spare, and the
+# wider fields cost no extra byte-planes anywhere (19/20/22-bit fields
+# still split into 3 planes).
+BIASD = 1 << 18      # bias for literal-source deltas in payload words
+FLAGL = 1 << 19      # literal-event flag in payload words
+MASKP = (1 << 19) - 1
+BIASJ = 1 << 20      # bias for jump-scatter weights (3 planes at 22 bits)
+VFLAG = 1 << 19      # value-terminal flag in P5 state words
 
 
 def _cdiv(a, b):
@@ -236,20 +250,45 @@ def _chk(*arrays):
                    static_argnames=("C", "D", "S_cap", "E_cap", "k2_cap",
                                     "upto"))
 def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
-                            k2_cap=2048, upto=99):
+                            k2_cap=2048, upto=99, pre=None, pre_len=None):
     """Decode a batch of independent known-length blocks.
 
     comp: [B, C] int32 bytes (zero padded), comp_len/out_len: [B] int32.
     C % 4096 == 0, D % 8192 == 0; S_cap/E_cap are sequence/event caps
     (multiples of 128) — blocks exceeding them come back with ok=False.
-    Returns (out [B, D] int32 bytes, total_out [B] int32, ok [B] bool).
+
+    ``pre`` ([B, P] int32 bytes, P % CH == 0) is an optional preset-
+    dictionary prefix that logically precedes the output: matches may
+    reference back into it (the reference-extension dictionary mode,
+    `models/reference.py::decompress_block_dict`).  Each block's
+    dictionary window is right-aligned at P; ``pre_len`` [B] gives its
+    true length (for match-bound validation).
+
+    Returns (out [B, D], total_out [B], ok [B], strict [B], consumed [B],
+    needed [B]):
+      * ``strict``   — every structural invariant of the hardened
+        unknown-output-length decoder held (`LZ4_uncompress_unknown-
+        OutputSize`, `Safe64.Dirty.cs:665-798`): every literal run stays
+        inside the input, every non-final sequence carries a valid
+        in-window match, and the final literal run ends exactly at
+        ``comp_len`` (consume-all-input rule, `:714-721`).
+      * ``consumed`` — compressed bytes the parse accounts for.
+      * ``needed``   — exact decoded size implied by the parse
+        (independent of ``out_len``), the return value of the
+        unknown-length decode path.
+
     ``upto`` truncates the pipeline after phase N and returns a checksum
     (profiling only; production callers leave the default).
     """
     B = comp.shape[0]
+    P = 0 if pre is None else pre.shape[1]
+    Dt = P + D
+    assert P % CH == 0 and Dt <= BIASD, (P, D)
+    if pre_len is None:
+        pre_len = jnp.zeros((B,), jnp.int32)
     nseg = C // SEG
     i = jnp.arange(C, dtype=jnp.int32)
-    o = jnp.arange(D, dtype=jnp.int32)
+    o = jnp.arange(Dt, dtype=jnp.int32)
 
     # P1 — parse
     g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
@@ -292,53 +331,70 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     off_s = plane_join(full_gather(op, mpos_s), osp)[0]
 
     adv_s = jnp.where(valid_seq, lit_len_s + mlen_s, 0)
-    out_start_s = jnp.cumsum(adv_s, axis=1) - adv_s
+    out_start_s = P + jnp.cumsum(adv_s, axis=1) - adv_s
     match_dst_s = out_start_s + lit_len_s
     lit_src_s = tok_c + hdr_s
+    out_lim = P + out_len[:, None]
+    ref_floor = P - pre_len[:, None]     # lowest legal match reference
 
-    match_ok = valid_seq & (match_dst_s < out_len[:, None]) \
-        & (off_s > 0) & (match_dst_s - off_s >= 0)
-    lit_ok = valid_seq & (lit_len_s > 0) & (out_start_s < out_len[:, None])
+    match_ok = valid_seq & (match_dst_s < out_lim) \
+        & (off_s > 0) & (match_dst_s - off_s >= ref_floor)
+    lit_ok = valid_seq & (lit_len_s > 0) & (out_start_s < out_lim)
     total_out = jnp.sum(
-        jnp.where(valid_seq & (out_start_s < out_len[:, None]), lit_len_s, 0)
+        jnp.where(valid_seq & (out_start_s < out_lim), lit_len_s, 0)
         + jnp.where(match_ok, mlen_s, 0), axis=1)
+
+    # hardened-decoder invariants (see docstring): literal runs in input,
+    # non-final sequences carry valid matches, input fully consumed
+    end_s = jnp.where(valid_seq, tok_c + hdr_s + lit_len_s, 0)
+    consumed = jnp.max(end_s, axis=1)
+    is_last = jnp.arange(S_cap, dtype=jnp.int32)[None, :] \
+        == (n_seqs[:, None] - 1)
+    has_match = valid_seq & ~is_last
+    needed = jnp.sum(jnp.where(valid_seq, lit_len_s, 0)
+                     + jnp.where(has_match, mlen_s, 0), axis=1)
+    lit_in = ~valid_seq | (lit_src_s + lit_len_s <= comp_len[:, None])
+    m_valid = ~has_match | ((off_s > 0)
+                            & (match_dst_s - off_s >= ref_floor))
+    strict = jnp.all(lit_in & m_valid, axis=1) \
+        & (consumed == comp_len) & (n_seqs > 0)
     if upto == 5:
         return _chk(off_s, out_start_s, lit_src_s, match_ok, lit_ok,
-                    total_out, n_seqs)
+                    total_out, n_seqs, strict, consumed, needed)
 
     # P4 — piecewise-constant per-byte payload via jump scatter
     E = 2 * S_cap
     ev_pos = jnp.stack([out_start_s, match_dst_s], -1).reshape(B, E)
     ev_ok = jnp.stack([lit_ok, match_ok], -1).reshape(B, E)
-    dlit = jnp.stack([lit_src_s - out_start_s + BIAS17,
+    dlit = jnp.stack([lit_src_s - out_start_s + BIASD,
                       jnp.zeros_like(off_s)], -1).reshape(B, E)
     offp = jnp.stack([jnp.zeros_like(off_s), off_s], -1).reshape(B, E)
     payload = jnp.where((jnp.arange(E) % 2)[None, :] == 0,
-                        FLAG18 | jnp.clip(dlit, 0, M18), offp)
+                        FLAGL | jnp.clip(dlit, 0, MASKP), offp)
     n_ev = jnp.sum(ev_ok, axis=1)
 
-    pos_key = jnp.where(ev_ok, ev_pos, jnp.int32(D))
+    pos_key = jnp.where(ev_ok, ev_pos, jnp.int32(Dt))
     pos_sorted, payload_sorted = jax.lax.sort(
         (pos_key, payload), dimension=-1, num_keys=1)
     pos_sorted = pos_sorted[:, :E_cap]
     payload_sorted = payload_sorted[:, :E_cap]
-    ev_live = pos_sorted < D
+    ev_live = pos_sorted < Dt
     prev = jnp.concatenate(
         [jnp.zeros_like(payload_sorted[:, :1]), payload_sorted[:, :-1]], axis=1)
     jump = jnp.where(ev_live, payload_sorted - prev, 0)
 
-    pos_c = jnp.clip(pos_sorted, 0, D - 1)
-    ind = scatter_add_planes(pos_c, ev_live.astype(jnp.int32), D, bits=8)
+    pos_c = jnp.clip(pos_sorted, 0, Dt - 1)
+    ind = scatter_add_planes(pos_c, ev_live.astype(jnp.int32), Dt, bits=8)
     sj = scatter_add_planes(pos_c, jnp.where(ev_live, jump + BIASJ, 0),
-                            D, bits=21)
+                            Dt, bits=22)
     payload_o = jnp.cumsum(sj - BIASJ * ind, axis=1)
     ev_start_o = jax.lax.cummax(jnp.where(ind > 0, o[None, :], 0), axis=1)
     if upto == 6:
         return _chk(payload_o, ev_start_o, n_ev)
 
     # P5 — wavefront resolution
-    is_lit_o = (payload_o & FLAG18) != 0
-    dlit_o = (payload_o & M18) - BIAS17
+    is_lit_o = (payload_o & FLAGL) != 0
+    dlit_o = (payload_o & MASKP) - BIASD
     off_o = payload_o & M17
     comp_idx = jnp.clip(o[None, :] + dlit_o, 0, C - 1)
     # literal sources are monotone in o but advance at the block's
@@ -353,15 +409,18 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
                      ev_start_o - off_o + jax.lax.rem(
                          phase, jnp.maximum(off_o, 1)),
                      o[None, :] - off_o)
-    msrc = jnp.clip(msrc, 0, D - 1)
+    msrc = jnp.clip(msrc, 0, Dt - 1)
     T0 = jnp.where(is_lit_o, VFLAG | (vals0 & 0xFF),
                    jnp.where(off_o > 0, msrc, VFLAG))
     if upto == 7:
         return _chk(T0)
 
-    out = jnp.zeros((B, D), jnp.int32)
+    if P:
+        out = jnp.concatenate([pre, jnp.zeros((B, D), jnp.int32)], axis=1)
+    else:
+        out = jnp.zeros((B, D), jnp.int32)
     k = jnp.arange(CH, dtype=jnp.int32)
-    for j in range(D // CH):
+    for j in range(P // CH, Dt // CH):
         lo = j * CH
         t0 = jax.lax.slice_in_dim(T0, lo, lo + CH, axis=1)
 
@@ -388,10 +447,10 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         _, n, _ = jax.lax.while_loop(cond, body, (n, n2, jnp.int32(0)))
 
         # one state resolve at the terminal ordinal
-        tp, tsp = plane_split([(t0, 19)])
+        tp, tsp = plane_split([(t0, 20)])
         t = plane_join(full_gather(tp, n), tsp)[0]
 
-        if j == 0:
+        if lo == 0:
             cv = jnp.zeros((B, CH), jnp.int32)
         else:
             tblp, tsp2 = plane_split([(jax.lax.slice_in_dim(
@@ -401,9 +460,11 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
         out = jax.lax.dynamic_update_slice_in_dim(out, res, lo, axis=1)
 
-    out = out * (o[None, :] < out_len[:, None])
+    if P:
+        out = jax.lax.slice_in_dim(out, P, Dt, axis=1)
+    out = out * (jnp.arange(D, dtype=jnp.int32)[None, :] < out_len[:, None])
     ok = (n_seqs <= S_cap) & (n_ev <= E_cap) & (ovf1 == 0)
-    return out, total_out, ok
+    return out, total_out, ok, strict, consumed, needed
 
 
 class VectorDecoder:
@@ -417,29 +478,80 @@ class VectorDecoder:
     genuine corruption reaches the CPU oracle.
     """
 
-    def decode_batch(self, blocks, out_lens):
+    def decode_batch(self, blocks, out_lens, dictionary=None):
         n = len(blocks)
         if n == 0:
             return []
         max_c = max(max(len(b) for b in blocks), 16)
         max_d = max(max(out_lens), 1)
         if max_c > 96 * 1024 or max_d > 96 * 1024:
-            # field bit-budgets (18-bit biased deltas, 17-bit indices)
+            # field bit-budgets (19-bit biased deltas, 18-bit indices)
             # assume <= 96 KB blocks; larger blocks take the host path
-            return [self._host_decode(b, n)
+            return [self._host_decode(b, n, dictionary)
                     for b, n in zip(blocks, out_lens)]
 
         results = [None] * n
         retry = self._device_pass(blocks, out_lens, range(n), results,
-                                  dense=False)
+                                  dense=False, dictionary=dictionary)
         if retry:
             retry = self._device_pass(blocks, out_lens, retry, results,
-                                      dense=True)
+                                      dense=True, dictionary=dictionary)
         for b in retry:
-            results[b] = self._host_decode(blocks[b], out_lens[b])
+            results[b] = self._host_decode(blocks[b], out_lens[b],
+                                           dictionary)
         return results
 
-    def _device_pass(self, blocks, out_lens, index_set, results, dense):
+    def decode_batch_unknown(self, blocks, max_out_lens):
+        """Unknown-output-length decode on device.
+
+        The kernel's ``strict``/``consumed``/``needed`` outputs certify
+        the hardened-decoder invariants (`Safe64.Dirty.cs:665-798`);
+        any block the device cannot certify is re-decoded by the host
+        hardened decoder, which either succeeds (device caps exceeded)
+        or raises the reference's error for genuinely malformed input.
+        """
+        n = len(blocks)
+        if n == 0:
+            return []
+        results = [None] * n
+        device = [b for b in range(n)
+                  if 0 < len(blocks[b]) <= 96 * 1024
+                  and max_out_lens[b] <= 96 * 1024]
+        if device:
+            idxs = device
+            max_c = max(len(blocks[b]) for b in idxs)
+            max_d = max(max(max_out_lens[b] for b in idxs), 1)
+            C = _cdiv(max_c + 1, BCH) * BCH
+            D = _cdiv(max_d + 1, CH) * CH
+            S_cap = _cdiv(C // 3 + 2, LANE) * LANE   # hard format bound
+            E_cap = 2 * S_cap
+            comp = np.zeros((len(idxs), C), np.int32)
+            for i, b in enumerate(idxs):
+                comp[i, :len(blocks[b])] = np.frombuffer(
+                    blocks[b], np.uint8)
+            comp_len = np.array([len(blocks[b]) for b in idxs], np.int32)
+            out_len = np.array([max_out_lens[b] for b in idxs], np.int32)
+            out, total, ok, strict, consumed, needed = \
+                decode_batch_vectorized(
+                    jnp.asarray(comp), jnp.asarray(comp_len),
+                    jnp.asarray(out_len), C, D, S_cap, E_cap, 8192)
+            out = np.asarray(out)
+            total, ok = np.asarray(total), np.asarray(ok)
+            strict, needed = np.asarray(strict), np.asarray(needed)
+            for i, b in enumerate(idxs):
+                if (bool(ok[i]) and bool(strict[i])
+                        and int(needed[i]) == int(total[i])
+                        and int(needed[i]) <= max_out_lens[b]):
+                    results[b] = out[i, :int(needed[i])] \
+                        .astype(np.uint8).tobytes()
+        for b in range(n):
+            if results[b] is None:
+                results[b] = self._host_decode_unknown(
+                    blocks[b], max_out_lens[b])
+        return results
+
+    def _device_pass(self, blocks, out_lens, index_set, results, dense,
+                     dictionary=None):
         """Run one kernel dispatch over ``index_set``; fill ``results``;
         return the indices that still need a denser pass."""
         idxs = list(index_set)
@@ -461,9 +573,22 @@ class VectorDecoder:
         comp_len = np.array([len(blocks[b]) for b in idxs], np.int32)
         out_len = np.array([out_lens[b] for b in idxs], np.int32)
 
-        out, total, ok = decode_batch_vectorized(
-            jnp.asarray(comp), jnp.asarray(comp_len), jnp.asarray(out_len),
-            C, D, S_cap, E_cap, k2)
+        pre = pre_len = None
+        if dictionary:
+            window = bytes(dictionary)[-MAX_DISTANCE_WINDOW:]
+            P = _cdiv(max(len(window), 1), CH) * CH
+            prow = np.zeros(P, np.int32)
+            prow[P - len(window):] = np.frombuffer(window, np.uint8)
+            pre = jnp.asarray(np.broadcast_to(
+                prow, (len(idxs), P)).copy())
+            pre_len = jnp.asarray(
+                np.full(len(idxs), len(window), np.int32))
+
+        out, total, ok, _strict, _consumed, _needed = \
+            decode_batch_vectorized(
+                jnp.asarray(comp), jnp.asarray(comp_len),
+                jnp.asarray(out_len), C, D, S_cap, E_cap, k2,
+                pre=pre, pre_len=pre_len)
         out = np.asarray(out)
         total = np.asarray(total)
         ok = np.asarray(ok)
@@ -476,8 +601,17 @@ class VectorDecoder:
         return retry
 
     @staticmethod
-    def _host_decode(block, out_len):
+    def _host_decode(block, out_len, dictionary=None):
         from ..models import native
         from ..models import reference
         eng = native if native.is_available() else reference
+        if dictionary:
+            return eng.decompress_block_dict(block, dictionary, out_len)
         return eng.decompress_block(block, out_len)
+
+    @staticmethod
+    def _host_decode_unknown(block, max_out_len):
+        from ..models import native
+        from ..models import reference
+        eng = native if native.is_available() else reference
+        return eng.decompress_block_unknown(block, max_out_len)

@@ -1,0 +1,474 @@
+"""Vectorised LZ4 greedy encoder: sort-based match finding, FSM parse.
+
+The reference's greedy compressor (`/root/reference/src/LZ4ps/
+LZ4Codec.Safe64.Dirty.cs:77-300`, from `original/lz4.c:345`) is a strictly
+sequential loop: a hash table maps each 4-byte value to its most recent
+position, and the parse position advances data-dependently.  This module
+restructures the whole thing into batched vector phases — no scalar
+loops, no hardware gathers — reusing the banded-gather/segment-FSM
+machinery of the decode pipeline (`decode_vector.py`, `banded.py`):
+
+E1  candidates        the reference's hash table answers "most recent
+                      earlier position with the same 4-byte value".  One
+                      stable `lax.sort` of (u32, position) answers it
+                      *exactly* for every position at once (ties are
+                      position-ordered, so the left neighbour is the
+                      most recent earlier occurrence) — no hash, no
+                      collisions: a strictly stronger candidate set than
+                      the reference's 4K/8K-entry table.
+E2  match lengths     periodic offsets (<= 4) get exact unbounded
+                      lengths from per-offset equality-run scans (the
+                      RLE path).  Far offsets extend by u32 compares:
+                      one full-domain round (the `i+4` cursor is a
+                      static shift, only `prev+4` gathers), then the
+                      still-growing survivors are compacted once and
+                      extended over a small index set for several more
+                      rounds.  Truncation is always format-safe (a
+                      shorter match is still a valid match); the E4
+                      merge pass coalesces contiguous same-offset
+                      matches, recovering long matches from capped ones.
+E3  greedy parse      greedy selection ("take the first match at or
+                      after the previous match's end") is a pointer
+                      chain g[i] = next_match_at_or_after(i + mlen[i]) —
+                      the decode pipeline's chain-threading problem,
+                      solved by the same segment-exit doubling +
+                      segment scan + in-segment marking.
+E4  sequence records  token positions compact by one sort; literal runs
+                      fall out of neighbouring records; contiguous
+                      same-offset matches merge via segmented sums; the
+                      block's literal tail becomes a final match-less
+                      record (LASTLITERALS rule).
+E5  byte emission     per-record sizes are elementwise; output offsets
+                      are a cumsum; token/offset/extension bytes scatter
+                      directly (positions are unique); literal bytes
+                      reuse decode's jump-scatter + gather pattern in
+                      reverse (output -> input indices via one gather).
+
+Output is *format-valid* (decodes bit-exactly on every engine, honours
+the last-5-literals / 12-byte-end rules of
+`original/lz4_format_description.txt:93-104`) but not parse-identical to
+the reference: this is the documented "fast mode" of SURVEY.md §7 step 4
+— any format-valid parse, size competitive with the reference.  The
+strict bit-identical parse lives in `encode_pallas.py` and the CPU
+engines; the engine registry keeps strict engines selected by default so
+cross-engine conformance (byte-identical compressed output) holds unless
+fast mode is requested explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (LASTLITERALS, MAX_DISTANCE, MFLIMIT, MINLENGTH,
+                         MINMATCH, ML_MASK, RUN_MASK, maximum_output_length)
+from .banded import (full_gather, plane_join, plane_split,
+                     scatter_add_planes, sorted_compact)
+from .decode_vector import (CH, LANE, SEG, _cdiv, _mark_tokens,
+                            _segment_exits, _thread_chain)
+
+EXT_ROUNDS = 10           # compacted far-match extension rounds
+MAX_FAR_MLEN = MINMATCH + 4 + 4 * EXT_ROUNDS   # 48-byte cap before merge
+TOP_OFFSETS = 8           # dominant offsets given exact unbounded lengths
+BIASE = 1 << 17           # literal-source delta bias (O, D < 2^17)
+BIASJ_E = 1 << 18         # jump bias (|jump| < 2^18)
+
+
+def _u32(x):
+    """u32[i] = little-endian 4-byte word at i (zero-padded tail)."""
+    b1 = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    b2 = jnp.concatenate([x[:, 2:], jnp.zeros_like(x[:, :2])], axis=1)
+    b3 = jnp.concatenate([x[:, 3:], jnp.zeros_like(x[:, :3])], axis=1)
+    return x | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+def _prev_occurrence(keys):
+    """prev[i] = largest j < i whose ``keys`` tuple equals position i's,
+    else -1.
+
+    Two stable sorts: forward (group by key; stability keeps positions
+    ascending within a group, so the left neighbour is the most recent
+    earlier occurrence) and inverse (the position column is a
+    permutation, so sorting by it restores position order).
+    """
+    B, D = keys[0].shape
+    i = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32)[None, :],
+                         keys[0].shape)
+    sorted_ = jax.lax.sort(tuple(keys) + (i,), dimension=-1,
+                           num_keys=len(keys))
+    same = jnp.ones((B, D - 1), bool)
+    for ks in sorted_[:-1]:
+        same = same & (ks[:, 1:] == ks[:, :-1])
+    same = jnp.concatenate([jnp.zeros((B, 1), bool), same], axis=1)
+    i_sorted = sorted_[-1]
+    prev_sorted = jnp.where(
+        same,
+        jnp.concatenate([jnp.full((B, 1), -1, jnp.int32),
+                         i_sorted[:, :-1]], axis=1),
+        jnp.int32(-1))
+    _, prev = jax.lax.sort((i_sorted, prev_sorted), dimension=-1, num_keys=1)
+    return prev
+
+
+def _run_lengths(eq):
+    """run[i] = length of the run of True starting at i (suffix scan)."""
+    Dn = eq.shape[-1]
+    rev = jnp.flip(eq, axis=-1)
+    idx = jnp.arange(Dn, dtype=jnp.int32)
+    last_false = jax.lax.cummax(
+        jnp.where(~rev, idx, -1), axis=rev.ndim - 1)
+    return jnp.flip(idx - last_false, axis=-1)
+
+
+def _xor_match_bytes(wa, wb):
+    """Number of equal low-order bytes of two u32 words (0..4)."""
+    diff = jnp.bitwise_xor(wa, wb)
+    return jnp.where(
+        (diff & 0xFF) != 0, 0,
+        jnp.where((diff & 0xFF00) != 0, 1,
+                  jnp.where((diff & 0xFF0000) != 0, 2,
+                            jnp.where(diff != 0, 3, 4))))
+
+
+def _xor_match_bytes_rev(wa, wb):
+    """Number of equal high-order bytes of two u32 words (0..4)."""
+    diff = jnp.bitwise_xor(wa, wb)
+    m = jnp.int32(-16777216)          # 0xFF000000 as int32
+    return jnp.where(
+        (diff & m) != 0, 0,
+        jnp.where((diff & 0xFF0000) != 0, 1,
+                  jnp.where((diff & 0xFF00) != 0, 2,
+                            jnp.where(diff != 0, 3, 4))))
+
+
+def _match_lengths(x, u32, prev, m8, data_len, D, rcap):
+    """(matched, offset, mlen) for every position; far matches capped at
+    MAX_FAR_MLEN (the merge pass recovers longer ones).  ``m8`` marks
+    positions whose candidate came from the 8-byte-prefix sort (first 8
+    bytes already verified equal)."""
+    B = x.shape[0]
+    i = jnp.arange(D, dtype=jnp.int32)
+    off = i[None, :] - prev
+    matched = (prev >= 0) & (off <= MAX_DISTANCE)
+
+    # periodic offsets 1..4: exact unbounded lengths, elementwise.
+    # LCP(i, i-d) == run length of (x[j] == x[j-d]) starting at j=i.
+    mlen = jnp.zeros_like(off)
+    for d in range(1, 5):
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
+        run = _run_lengths(x == shifted)
+        mlen = jnp.where(matched & (off == d), run, mlen)
+
+    # far offsets, round 1 over the full domain: u32 at i+4 is a static
+    # shift of the u32 table; only the prev+4 cursor needs a gather.
+    far = matched & (off > 4)
+    up, usp = plane_split([(u32, 32)])
+    w_i4 = jnp.concatenate([u32[:, 4:], jnp.zeros_like(u32[:, :4])], axis=1)
+    w_p4 = plane_join(full_gather(up, jnp.clip(prev + 4, 0, D - 1)), usp)[0]
+    nb1 = jnp.where(m8, 4, _xor_match_bytes(w_i4, w_p4))
+    l_far = jnp.where(far, MINMATCH + nb1, 0)
+    alive = far & (nb1 == 4)
+
+    # compact the still-growing survivors once; extend them over a small
+    # index set.  Survivors beyond ``rcap`` simply stay at their current
+    # (valid) length.
+    ppos = sorted_compact(alive, rcap, big=D)            # [B, rcap]
+    palive = ppos < D
+    ppos_c = jnp.clip(ppos, 0, D - 1)
+    pp, psp = plane_split([(jnp.maximum(prev, 0), 17)])
+    prev_c = plane_join(full_gather(pp, ppos_c), psp)[0]
+    l_c = jnp.full((B, rcap), MINMATCH + 4, jnp.int32)
+    for _ in range(EXT_ROUNDS):
+        wa = plane_join(full_gather(
+            up, jnp.clip(ppos_c + l_c, 0, D - 1)), usp)[0]
+        wb = plane_join(full_gather(
+            up, jnp.clip(prev_c + l_c, 0, D - 1)), usp)[0]
+        nb = jnp.where(palive, _xor_match_bytes(wa, wb), 0)
+        l_c = l_c + nb
+        palive = palive & (nb == 4)
+    extra = jnp.where(ppos < D, l_c - (MINMATCH + 4), 0)
+    ext_scat = scatter_add_planes(ppos_c, extra, D, bits=8)
+    l_far = l_far + jnp.where(alive, ext_scat, 0)
+    mlen = jnp.where(far, l_far, mlen)
+
+    # dominant far offsets get *exact unbounded* lengths: for a fixed
+    # offset d, LCP(i, i-d) is an elementwise equality-run scan against
+    # the d-rolled input — no gathers.  The top-K offsets (subsampled
+    # histogram + top_k) cover structured/text data, where long far
+    # matches cluster on a few periods; anything else keeps the capped
+    # length and relies on the merge pass.
+    sub = slice(None, None, 16)
+    sub_far = far[:, sub]
+    hist = scatter_add_planes(
+        jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
+        sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
+    _, dks = jax.lax.top_k(hist, TOP_OFFSETS)
+    for t in range(TOP_OFFSETS):
+        dk = dks[:, t]
+        rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(x, dk)
+        eq = (x == rolled) & (i[None, :] >= dk[:, None])
+        run = _run_lengths(eq)
+        mlen = jnp.where(far & (off == dk[:, None]), run, mlen)
+
+    # format end rules: a match may not cover the last 5 bytes and must
+    # start >= 12 bytes before the end; short blocks are all literals
+    # (`lz4_format_description.txt:93-104`)
+    limit = data_len[:, None] - LASTLITERALS - i[None, :]
+    mlen = jnp.minimum(mlen, jnp.maximum(limit, 0))
+    matched = matched & (mlen >= MINMATCH) \
+        & (i[None, :] <= data_len[:, None] - MFLIMIT) \
+        & (data_len[:, None] >= MINLENGTH)
+    return matched, jnp.where(matched, off, 0), jnp.where(matched, mlen, 0)
+
+
+def _next_match_at_or_after(matched, D):
+    """nm[i] = smallest j >= i with matched[j], else >= D."""
+    i = jnp.arange(D, dtype=jnp.int32)
+    rev = jnp.flip(jnp.where(matched, i[None, :], jnp.int32(D)), axis=-1)
+    nm_rev = jax.lax.cummin(rev, axis=rev.ndim - 1)
+    return jnp.flip(nm_rev, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap"))
+def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096):
+    """Greedy-encode a batch of independent blocks.
+
+    x: [B, D] int32 bytes (zero padded), data_len: [B] int32.
+    D % 8192 == 0; O the padded output budget
+    (>= maximum_output_length(D)); S_cap the record cap (a cap of
+    D // MINMATCH + margin can never overflow).
+    Returns (out [B, O] int32 bytes, out_len [B] int32, ok [B] bool).
+    """
+    B = x.shape[0]
+    i = jnp.arange(D, dtype=jnp.int32)
+    o = jnp.arange(O, dtype=jnp.int32)
+    k = jnp.arange(S_cap, dtype=jnp.int32)
+
+    # E1/E2 — candidates + lengths.  Two candidate tiers: the nearest
+    # 8-byte-prefix occurrence (guaranteed LCP >= 8) beats the nearest
+    # 4-byte one — the nearest 4-byte occurrence often has a short LCP
+    # where an older occurrence matches much longer.
+    u32 = _u32(x)
+    u32s4 = jnp.concatenate([u32[:, 4:], jnp.zeros_like(u32[:, :4])], axis=1)
+    prev4 = _prev_occurrence((u32,))
+    prev8 = _prev_occurrence((u32, u32s4))
+    m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
+    prev = jnp.where(m8, prev8, prev4)
+    matched, off_all, mlen_all = _match_lengths(
+        x, u32, prev, m8, data_len, D, rcap)
+
+    # E3 — greedy parse: chain-thread the "next token" graph
+    nm = _next_match_at_or_after(matched, D)
+    step = jnp.where(matched, mlen_all, 1)
+    tgt = jnp.clip(i[None, :] + step, 0, D - 1)
+    np_, nsp = plane_split([(nm, 18)])
+    nm_at_end = plane_join(full_gather(np_, tgt), nsp)[0]
+    nm_at_end = jnp.where(i[None, :] + step >= D, jnp.int32(D), nm_at_end)
+    g = jnp.where(matched, nm_at_end, nm)
+    g = jnp.maximum(g, i[None, :] + 1)          # junk-safe: strictly forward
+
+    nseg = D // SEG
+    g3 = g.reshape(B, nseg, SEG)
+    H3 = _segment_exits(g3, nseg)
+    entries = _thread_chain(H3, nseg)
+    mark = _mark_tokens(g3, entries, nseg)
+    mark = mark * matched.astype(jnp.int32)
+
+    # E4 — sequence records
+    n_seqs = jnp.sum(mark, axis=1)
+    tok = sorted_compact(mark == 1, S_cap, big=D)
+    valid = tok < D
+    tok_c = jnp.clip(tok, 0, D - 1)
+    fp, fsp = plane_split([(off_all, 17), (mlen_all, 17)])
+    off_s, mlen_s = plane_join(full_gather(fp, tok_c), fsp)
+    off_s = jnp.where(valid, off_s, 0)
+    mlen_s = jnp.where(valid, mlen_s, 0)
+
+    prev_end = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), (tok_c + mlen_s)[:, :-1]], axis=1)
+    lit_start = jnp.where(valid, prev_end, 0)
+    lit_len = jnp.where(valid, tok_c - lit_start, 0)
+
+    # catch-up: extend each selected match backwards over equal bytes,
+    # shrinking the preceding literal run (`Safe64.Dirty.cs:145-149`).
+    # The match *end* is unchanged, so the parse chain is unaffected.
+    up2, usp2 = plane_split([(u32, 32)])
+    cb = jnp.zeros_like(tok_c)
+    can = valid & (mlen_s > 0)
+    for _ in range(2):
+        cb_max = jnp.minimum(lit_len, tok_c - off_s)   # stay in bounds
+        pa = jnp.clip(tok_c - cb - 4, 0, x.shape[1] - 1)
+        pb = jnp.clip(tok_c - off_s - cb - 4, 0, x.shape[1] - 1)
+        wa = plane_join(full_gather(up2, pa), usp2)[0]
+        wb = plane_join(full_gather(up2, pb), usp2)[0]
+        nb = jnp.where(can & (tok_c - cb - 4 >= 0)
+                       & (tok_c - off_s - cb - 4 >= 0),
+                       _xor_match_bytes_rev(wa, wb), 0)
+        cb = jnp.minimum(cb + nb, jnp.maximum(cb_max, 0))
+        can = can & (nb == 4)
+    lit_len = lit_len - jnp.where(valid, cb, 0)
+    mlen_s = mlen_s + jnp.where(valid, cb, 0)
+
+    # merge contiguous same-offset matches (recovers far-cap truncation)
+    prev_off = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), off_s[:, :-1]], axis=1)
+    is_start = (~valid) | (k[None, :] == 0) | (lit_len != 0) \
+        | (off_s != prev_off)
+    mcum = jnp.cumsum(mlen_s, axis=1)
+    start_next = jnp.concatenate(
+        [jnp.where(is_start[:, 1:], k[None, 1:], jnp.int32(S_cap)),
+         jnp.full((B, 1), S_cap, jnp.int32)], axis=1)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_next, axis=-1),
+                              axis=start_next.ndim - 1), axis=-1)
+    last = jnp.clip(nxt - 1, 0, S_cap - 1)
+    mp, msp = plane_split([(mcum, 21)])
+    mcum_last = plane_join(full_gather(mp, last), msp)[0]
+    merged_mlen = mcum_last - (mcum - mlen_s)
+
+    keep = is_start & valid
+    n_m = jnp.sum(keep, axis=1)
+    kidx = sorted_compact(keep, S_cap, big=S_cap)
+    kp, ksp = plane_split([(jnp.where(keep, lit_start, 0), 17),
+                           (jnp.where(keep, lit_len, 0), 17),
+                           (jnp.where(keep, off_s, 0), 17),
+                           (jnp.where(keep, merged_mlen, 0), 17)])
+    lit_start_m, lit_len_m, off_m, mlen_m = plane_join(
+        full_gather(kp, jnp.clip(kidx, 0, S_cap - 1)), ksp)
+    valid_m = kidx < S_cap
+    lit_start_m = jnp.where(valid_m, lit_start_m, 0)
+    lit_len_m = jnp.where(valid_m, lit_len_m, 0)
+    off_m = jnp.where(valid_m, off_m, 0)
+    mlen_m = jnp.where(valid_m, mlen_m, 0)
+
+    # final literal-only record at index n_m (LASTLITERALS tail)
+    tail_start = jnp.max(
+        jnp.where(valid_m, lit_start_m + lit_len_m + mlen_m, 0), axis=1)
+    is_final = k[None, :] == n_m[:, None]
+    lit_start_m = jnp.where(is_final, tail_start[:, None], lit_start_m)
+    lit_len_m = jnp.where(
+        is_final, data_len[:, None] - tail_start[:, None], lit_len_m)
+    off_m = jnp.where(is_final, 0, off_m)
+    mlen_m = jnp.where(is_final, 0, mlen_m)
+    live = valid_m | is_final
+    has_match = live & (mlen_m > 0)
+    has_lit = live & (lit_len_m > 0)
+
+    # E5 — emission.  Per-record sizes and output offsets.
+    e_lit = jnp.maximum(lit_len_m - RUN_MASK, 0)
+    lit_ext = jnp.where(live & (lit_len_m >= RUN_MASK),
+                        1 + e_lit // 255, 0)
+    e_m = jnp.maximum(mlen_m - MINMATCH - ML_MASK, 0)
+    m_ext = jnp.where(has_match & (mlen_m - MINMATCH >= ML_MASK),
+                      1 + e_m // 255, 0)
+    size = jnp.where(live,
+                     1 + lit_ext + lit_len_m
+                     + jnp.where(has_match, 2 + m_ext, 0), 0)
+    s0 = jnp.cumsum(size, axis=1) - size
+    out_len = jnp.sum(size, axis=1)
+
+    tok_byte = (jnp.minimum(lit_len_m, RUN_MASK) << 4) \
+        | jnp.minimum(jnp.where(has_match, mlen_m - MINMATCH, 0), ML_MASK)
+    lit_o = s0 + 1 + lit_ext                     # first literal byte
+    off_o = lit_o + lit_len_m                    # offset lo byte
+    mext_o = off_o + 2                           # first matchlen-ext byte
+
+    def scat(pos, val, mask, bits=8):
+        p = jnp.where(mask, jnp.clip(pos, 0, O - 1), O - 1)
+        w = jnp.where(mask, val, 0)
+        return scatter_add_planes(p, w, O, bits=bits)
+
+    ones = jnp.ones_like(s0)
+    direct = scat(s0, tok_byte, live)
+    direct = direct + scat(off_o, off_m & 0xFF, has_match)
+    direct = direct + scat(off_o + 1, off_m >> 8, has_match)
+
+    # extension runs: 255s, remainder in the last byte.  One scatter of
+    # rem+1 marks the last byte (>0 test distinguishes it from the 255s).
+    has_lext = live & (lit_ext > 0)
+    has_mext = has_match & (m_ext > 0)
+    ext_in = jnp.cumsum(scat(s0 + 1, ones, has_lext)
+                        + scat(mext_o, ones, has_mext)
+                        - scat(s0 + 1 + lit_ext, ones, has_lext)
+                        - scat(mext_o + m_ext, ones, has_mext),
+                        axis=1) > 0
+    remp1 = scat(s0 + lit_ext, e_lit % 255 + 1, has_lext, bits=9) \
+        + scat(mext_o + m_ext - 1, e_m % 255 + 1, has_mext, bits=9)
+    ext_val = jnp.where(remp1 > 0, remp1 - 1, 255)
+
+    # literal bytes: jump-scatter per-run source deltas -> per-byte
+    # source index -> one gather from the input
+    in_lit = jnp.cumsum(scat(lit_o, ones, has_lit)
+                        - scat(lit_o + lit_len_m, ones, has_lit),
+                        axis=1) > 0
+    dlit = jnp.where(has_lit, lit_start_m - lit_o + BIASE, 0)
+    carried = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == 0, a, b), dlit, axis=1)
+    prev_dlit = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), carried[:, :-1]], axis=1)
+    jump = jnp.where(has_lit, dlit - prev_dlit, 0)
+    sj = scat(lit_o, jump + BIASJ_E, has_lit, bits=20)
+    ind = scat(lit_o, ones, has_lit)
+    dlit_o = jnp.cumsum(sj - BIASJ_E * ind, axis=1) - BIASE
+    src_idx = jnp.clip(o[None, :] + dlit_o, 0, D - 1)
+    xp, xsp = plane_split([(x, 8)])
+    lit_vals = plane_join(full_gather(xp, src_idx), xsp)[0]
+
+    out = jnp.where(in_lit, lit_vals,
+                    jnp.where(ext_in, ext_val, direct)) & 0xFF
+    out = out * (o[None, :] < out_len[:, None])
+
+    ok = (n_seqs < S_cap) & (n_m < S_cap)
+    return out, out_len, ok
+
+
+class VectorEncoder:
+    """Host wrapper: pads blocks to a shared shape, dispatches the
+    vectorised encoder, falls back to the CPU oracle for blocks the
+    kernel flags or that exceed its budgets.  Fast mode: output is
+    format-valid and size-competitive, not parse-identical."""
+
+    MAX_BLOCK = 96 * 1024
+
+    def encode_batch(self, blocks, dst_maxlens=None):
+        n = len(blocks)
+        if n == 0:
+            return []
+        if dst_maxlens is None:
+            dst_maxlens = [maximum_output_length(len(b)) for b in blocks]
+        results = [None] * n
+        device = [b for b in range(n)
+                  if 0 < len(blocks[b]) <= self.MAX_BLOCK]
+        if device:
+            max_d = max(len(blocks[b]) for b in device)
+            D = _cdiv(max_d + 1, CH) * CH
+            O = _cdiv(maximum_output_length(D) + 1, CH) * CH
+            S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
+            x = np.zeros((len(device), D), np.int32)
+            for j, b in enumerate(device):
+                x[j, :len(blocks[b])] = np.frombuffer(blocks[b], np.uint8)
+            dl = np.array([len(blocks[b]) for b in device], np.int32)
+            out, out_len, ok = encode_batch_vectorized(
+                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap)
+            out = np.asarray(out)
+            out_len, ok = np.asarray(out_len), np.asarray(ok)
+            for j, b in enumerate(device):
+                if bool(ok[j]):
+                    payload = out[j, :int(out_len[j])] \
+                        .astype(np.uint8).tobytes()
+                    results[b] = payload \
+                        if len(payload) <= dst_maxlens[b] else b""
+        for b in range(n):
+            if results[b] is None:
+                results[b] = self._host_encode(blocks[b], dst_maxlens[b])
+        return results
+
+    @staticmethod
+    def _host_encode(block, dst_maxlen):
+        from ..models import native
+        from ..models import reference
+        eng = native if native.is_available() else reference
+        return eng.compress_block(block, dst_maxlen)

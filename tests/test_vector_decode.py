@@ -65,6 +65,66 @@ def test_vector_decode_rejects_truncation(dec):
         dec.decode_batch([packed[:len(packed) // 2]], [len(data)])
 
 
+def _compress_dict(dictionary, data):
+    return (N.compress_block_dict(dictionary, data) if N.is_available()
+            else R.compress_block_dict(dictionary, data))
+
+
+def test_vector_decode_preset_dictionary(dec):
+    """On-device dictionary decode: matches reach into a prefix region of
+    the kernel's output domain (SURVEY.md §2.10 broadcast pattern)."""
+    dictionary = (b"shared preset dictionary with common phrases: "
+                  b"the quick brown fox jumps over the lazy dog. ") * 40
+    records = [
+        b"the quick brown fox jumps over the lazy dog. " * 30,
+        b"common phrases: the quick brown fox" * 17,
+        dictionary[200:900],                       # pure dictionary match
+        bytes(map(random.Random(9).randrange, [256] * 700)),
+    ]
+    packed = [_compress_dict(dictionary, r) for r in records]
+    # dictionary must actually help (pure-dict record compresses tiny)
+    assert len(packed[2]) < len(records[2]) // 4
+    got = dec.decode_batch(packed, [len(r) for r in records],
+                           dictionary=dictionary)
+    assert got == records
+
+
+def test_vector_decode_dictionary_larger_than_window(dec):
+    """Only the last 64 KB of a dictionary is reachable; larger preset
+    dictionaries must still round-trip (right-aligned window)."""
+    rnd = random.Random(7)
+    big_dict = bytes(rnd.getrandbits(8) for _ in range(70 * 1024))
+    data = big_dict[-3000:] + b"tail text " * 50
+    packed = _compress_dict(big_dict, data)
+    got = dec.decode_batch([packed], [len(data)], dictionary=big_dict)
+    assert got == [data]
+
+
+def test_vector_decode_unknown_length(dec):
+    """Device-side unknown-output-length decode returns the exact decoded
+    size (`LZ4_uncompress_unknownOutputSize` semantics)."""
+    for name, data in CASES.items():
+        packed = _compress(data)
+        got = dec.decode_batch_unknown([packed], [len(data) + 1000])
+        assert got == [data], name
+    # batch with heterogeneous sizes
+    datas = [CASES["text"], CASES["rle1"], CASES["tiny"]]
+    packs = [_compress(d) for d in datas]
+    got = dec.decode_batch_unknown(packs, [len(d) + 64 for d in datas])
+    assert got == datas
+
+
+def test_vector_decode_unknown_rejects_bad_input(dec):
+    data = CASES["text"]
+    packed = _compress(data)
+    with pytest.raises(R.CorruptedBlockError):
+        dec.decode_batch_unknown([packed], [len(data) // 2])  # overflow
+    with pytest.raises(R.CorruptedBlockError):
+        dec.decode_batch_unknown([packed[:-3]], [len(data)])  # truncated
+    with pytest.raises(R.CorruptedBlockError):
+        dec.decode_batch_unknown([b""], [64])                 # empty
+
+
 def test_scatter_add_batched():
     import jax
     from lz4net_tpu.ops.mxu_gather import scatter_add
