@@ -584,7 +584,7 @@ class VectorDecoder:
             pre_len = jnp.asarray(
                 np.full(len(idxs), len(window), np.int32))
 
-        out, total, ok, _strict, _consumed, _needed = \
+        out, total, ok, strict, _consumed, needed = \
             decode_batch_vectorized(
                 jnp.asarray(comp), jnp.asarray(comp_len),
                 jnp.asarray(out_len), C, D, S_cap, E_cap, k2,
@@ -592,9 +592,18 @@ class VectorDecoder:
         out = np.asarray(out)
         total = np.asarray(total)
         ok = np.asarray(ok)
+        strict, needed = np.asarray(strict), np.asarray(needed)
         retry = []
+        # Accept device output only under full strict certification (the
+        # hardened-decoder invariants + exact length match).  The
+        # reference's known-length decode also enforces consume-all-input
+        # (`Decode64` throws unless bytes-read == inputLength,
+        # `LZ4Codec.Safe.cs:522-551`), so anything weaker could accept a
+        # stream the CPU engines reject; uncertified blocks fall back to
+        # the host hardened decoder which raises the reference's errors.
         for i, b in enumerate(idxs):
-            if not bool(ok[i]) or int(total[i]) != out_lens[b]:
+            if (not bool(ok[i]) or int(total[i]) != out_lens[b]
+                    or not bool(strict[i]) or int(needed[i]) != out_lens[b]):
                 retry.append(b)
             else:
                 results[b] = out[i, :out_lens[b]].astype(np.uint8).tobytes()

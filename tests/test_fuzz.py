@@ -24,7 +24,7 @@ def test_mutated_streams_never_crash(engine):
     base = (b"the quick brown fox jumps over the lazy dog. " * 40)[:1500]
     packed = bytearray(R.compress_block(base))
 
-    survived = 0
+    decoded, caught = 0, 0
     for trial in range(300):
         mutated = bytearray(packed)
         for _ in range(rng.randint(1, 4)):
@@ -40,12 +40,13 @@ def test_mutated_streams_never_crash(engine):
             try:
                 out = dec(bytes(mutated), arg)
                 assert len(out) <= len(base)
-                survived += 1
+                decoded += 1
             except R.CorruptedBlockError:
-                pass
-    # some mutations decode (flips inside literals), most must be caught;
-    # the property under test is simply "no crash, no overrun"
-    assert survived >= 0
+                caught += 1
+    # Some mutations decode cleanly (flips inside literal payloads), most
+    # corrupt the sequence structure and must raise; both outcomes have to
+    # occur or the harness isn't exercising the decoder at all.
+    assert decoded > 0 and caught > 0
 
 
 @pytest.mark.parametrize("engine", [e[0] for e in _engines()])
@@ -63,6 +64,112 @@ def test_random_garbage_streams(engine):
                 assert len(out) <= 1000
             except R.CorruptedBlockError:
                 pass
+
+
+def _mutate(rng, packed):
+    mutated = bytearray(packed)
+    for _ in range(rng.randint(1, 4)):
+        op = rng.random()
+        if op < 0.5 and mutated:
+            mutated[rng.randrange(len(mutated))] = rng.getrandbits(8)
+        elif op < 0.75 and len(mutated) > 4:
+            del mutated[rng.randrange(len(mutated))]
+        else:
+            mutated.insert(rng.randrange(len(mutated) + 1),
+                           rng.getrandbits(8))
+    return bytes(mutated)
+
+
+def test_vector_decoder_agrees_with_hardened_cpu_on_mutations():
+    """The device pipeline's accept/reject certification
+    (`decode_vector.py` strict/consumed/needed) vs the hardened CPU
+    decoder, on mutated streams (the `original/fuzzer.c:44-58` role for
+    the TPU engine).  Any disagreement — device accepting a stream the
+    CPU rejects, or decoding to different bytes — is a failure."""
+    from lz4net_tpu.ops.decode_vector import VectorDecoder
+
+    rng = random.Random(777)
+    base = (b"mxu gather one-hot lane select banded window " * 40)[:1800]
+    packed = R.compress_block(base)
+    dec = VectorDecoder()
+
+    muts = [_mutate(rng, packed) for _ in range(120)]
+    # batched known-length pass: device path for every block; the host
+    # oracle inside raises for blocks the device cannot certify, so probe
+    # block-by-block after one warm batched call on the valid stream
+    assert dec.decode_batch([packed], [len(base)])[0] == base
+    agree_ok = agree_err = 0
+    for m in muts:
+        try:
+            host = R.decompress_block(m, len(base))
+        except R.CorruptedBlockError:
+            host = None
+        try:
+            dev = dec.decode_batch([m], [len(base)])[0]
+        except R.CorruptedBlockError:
+            dev = None
+        assert dev == host, "device known-length decode disagrees with CPU"
+        agree_ok += dev is not None
+        agree_err += dev is None
+    assert agree_ok > 0 and agree_err > 0
+
+    for m in muts[:60]:
+        try:
+            host = R.decompress_block_unknown(m, len(base) + 64)
+        except R.CorruptedBlockError:
+            host = None
+        try:
+            dev = dec.decode_batch_unknown([m], [len(base) + 64])[0]
+        except R.CorruptedBlockError:
+            dev = None
+        assert dev == host, "device unknown-length decode disagrees with CPU"
+
+
+def test_vector_decoder_garbage_streams():
+    """Random garbage through the device pipeline: same outcome as the
+    hardened CPU decoder (clean decode or CorruptedBlockError)."""
+    from lz4net_tpu.ops.decode_vector import VectorDecoder
+
+    rng = random.Random(31337)
+    dec = VectorDecoder()
+    for trial in range(40):
+        blob = bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 300)))
+        cap = rng.randint(1, 600)
+        try:
+            host = R.decompress_block_unknown(blob, cap)
+        except R.CorruptedBlockError:
+            host = None
+        try:
+            dev = dec.decode_batch_unknown([blob], [cap])[0]
+        except R.CorruptedBlockError:
+            dev = None
+        assert dev == host
+
+
+def test_vector_decoder_dict_mutations():
+    """Preset-dictionary device decode vs CPU dict decoder on mutations."""
+    from lz4net_tpu.ops.decode_vector import VectorDecoder
+
+    rng = random.Random(4242)
+    dictionary = (b"shared preset window 0123456789 " * 20)[:512]
+    base = (b"shared preset window plus new content " * 30)[:900]
+    packed = R.compress_block_dict(dictionary, base,
+                                   len(base) + len(base) // 2 + 64)
+    dec = VectorDecoder()
+    assert dec.decode_batch([packed], [len(base)],
+                            dictionary=dictionary)[0] == base
+    for _ in range(40):
+        m = _mutate(rng, packed)
+        try:
+            host = R.decompress_block_dict(m, dictionary, len(base))
+        except R.CorruptedBlockError:
+            host = None
+        try:
+            dev = dec.decode_batch([m], [len(base)],
+                                   dictionary=dictionary)[0]
+        except R.CorruptedBlockError:
+            dev = None
+        assert dev == host
 
 
 def test_cyclic_sequences_round_trip():
