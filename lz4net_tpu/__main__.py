@@ -24,13 +24,23 @@ import time
 def _cmd_compress(args) -> int:
     from . import LZ4Stream, LZ4StreamFlags, LZ4StreamMode
 
+    if args.block is None:
+        # device-friendly chunking: 64 KB chunks decode on the TPU
+        # kernels; the 1 MB reference default would fall back to the
+        # host on every chunk (constants.DEVICE_BLOCK_SIZE)
+        from .constants import DEFAULT_BLOCK_SIZE, DEVICE_BLOCK_SIZE
+        from .models import tpu
+        block = (DEVICE_BLOCK_SIZE if tpu.is_available()
+                 else DEFAULT_BLOCK_SIZE)
+    else:
+        block = args.block * 1024
     flags = LZ4StreamFlags.DEFAULT
     if args.hc:
         flags |= LZ4StreamFlags.HIGH_COMPRESSION
     t0 = time.time()
     with open(args.input, "rb") as src, open(args.output, "wb") as dst:
         with LZ4Stream(dst, LZ4StreamMode.COMPRESS, flags,
-                       block_size=args.block * 1024) as stream:
+                       block_size=block) as stream:
             while chunk := src.read(1 << 20):
                 stream.write(chunk)
     import os
@@ -101,7 +111,9 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--hc", action="store_true")
-    p.add_argument("--block", type=int, default=1024, help="block size KB")
+    p.add_argument("--block", type=int, default=None,
+                   help="block size KB (default: 64 on a TPU-enabled "
+                        "install so decode runs on-device, else 1024)")
     p.set_defaults(fn=_cmd_compress)
 
     p = sub.add_parser("decompress")

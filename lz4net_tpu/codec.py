@@ -109,6 +109,31 @@ def decode(src: bytes, output_length: int | None = None, *,
     return registry.decoder().decode_unknown(bytes(src), max_output_length)
 
 
+def decode_batch(blocks, output_lengths) -> list:
+    """Batched known-length decode of independent blocks.
+
+    One device dispatch on batched engines (tpu), a pthread pass on the
+    native engine, a loop otherwise.  This is the stream layer's
+    read-ahead hot path — the reference decodes its chunks one call at a
+    time (`LZ4Stream.cs:274-312`); batching is what maps that loop onto
+    the hardware this framework targets.
+    """
+    blocks = [bytes(b) for b in blocks]
+    output_lengths = list(output_lengths)
+    nonzero = [i for i, n in enumerate(output_lengths) if n > 0]
+    dec = registry.decoder()
+    results = [b""] * len(blocks)
+    if hasattr(dec, "decode_batch"):
+        sub = dec.decode_batch([blocks[i] for i in nonzero],
+                               [output_lengths[i] for i in nonzero])
+        for i, r in zip(nonzero, sub):
+            results[i] = r
+    else:
+        for i in nonzero:
+            results[i] = dec.decode(blocks[i], output_lengths[i])
+    return results
+
+
 # ---------------------------------------------------------------------------
 # Wrap envelope: [u32le originalLength][u32le payloadLength][payload]
 # Raw passthrough when compression does not shrink the data

@@ -76,6 +76,12 @@ CHUNK_PASSES_MASK = 0x04 | 0x08 | 0x10   # reserved, only 0 supported
 
 DEFAULT_BLOCK_SIZE = 1024 * 1024
 MIN_BLOCK_SIZE = 16
+# Chunk size the TPU decode kernels are shaped for: streams written with
+# 64 KB chunks decode fully on-device (the vector pipeline's field
+# budgets cap blocks at 96 KB; the reference's 1 MB default chunk would
+# force the host fallback on every chunk).  The stream format is
+# identical either way — only the chunking granularity differs.
+DEVICE_BLOCK_SIZE = 64 * 1024
 
 
 def maximum_output_length(input_length: int) -> int:

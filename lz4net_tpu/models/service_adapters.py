@@ -70,6 +70,24 @@ class NativeService:
         return self._nat.decompress_block_dict(src, dictionary,
                                                output_length)
 
+    def decode_batch(self, blocks, output_lengths):
+        """Batched known-length decode over the pthread C++ path."""
+        src = b"".join(blocks)
+        offsets, lengths = [], []
+        pos = 0
+        for b in blocks:
+            offsets.append(pos)
+            lengths.append(len(b))
+            pos += len(b)
+        out_lengths = list(output_lengths)
+        concat, _status = self._nat.decompress_blocks(
+            src, offsets, lengths, out_lengths)
+        results, pos = [], 0
+        for n in out_lengths:
+            results.append(concat[pos:pos + n])
+            pos += n
+        return results
+
 
 class TpuService:
     """Batched TPU engine (`lz4net_tpu.models.tpu`): Pallas/XLA kernels over
@@ -102,3 +120,9 @@ class TpuService:
                     output_length: int) -> bytes:
         return self._tpu.decompress_block_dict(src, dictionary,
                                                output_length)
+
+    def decode_batch(self, blocks, output_lengths):
+        """Batched known-length decode — one device dispatch for the
+        whole batch (the stream layer's read-ahead path)."""
+        return self._tpu.decompress_blocks(list(blocks),
+                                           list(output_lengths))

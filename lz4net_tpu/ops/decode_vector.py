@@ -60,8 +60,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MAX_DISTANCE
-from .banded import (banded_gather, full_gather, hier_gather, plane_join,
-                     plane_split, scatter_add_planes, sorted_compact)
+from .banded import (banded_gather, compact_fallback, full_gather,
+                     hier_gather, plane_join, plane_split,
+                     scatter_add_planes, sorted_compact)
+from . import fused_gather as fg
 
 # only the last 64 KB of a preset dictionary is reachable (offsets are
 # 16-bit; the closest in-block destination is the block start)
@@ -108,7 +110,7 @@ def _suffix_run255(b):
 # P1 — speculative parse
 # ---------------------------------------------------------------------------
 
-def _speculative_parse(comp, C, k2_cap):
+def _speculative_parse(comp, C, k2_cap, fused=False):
     """Per-position parse fields: (g, lit_len, hdr, mpos, mlen, overflow)."""
     b = comp
     i = jnp.arange(C, dtype=jnp.int32)
@@ -116,10 +118,18 @@ def _speculative_parse(comp, C, k2_cap):
 
     # ext_val[q]: value of a 255-extension sequence starting at q
     # (terminator byte is the first non-255 byte; format guarantees it).
-    planes_b, _ = plane_split([(b, 8)])
-    term, _ = banded_gather(planes_b, jnp.clip(i[None, :] + run255, 0, C - 1),
-                            BCH, BW, 0)
-    ext_val = jnp.clip(255 * run255 + term[:, 0, :], 0, M17)
+    # A real extension run is <= ceil(96K/255) = 377 bytes of 0xFF, so a
+    # 5-row (640 B) forward window is exact at every real extension
+    # start; junk positions (inside 0xFF-filled literal data) may fall
+    # out of band and read garbage, which stays junk-safe via clipping.
+    term_idx = jnp.clip(i[None, :] + run255, 0, C - 1)
+    if fused:
+        term, _ = fg.diag_gather(b, term_idx, 0, 5)
+    else:
+        planes_b, _ = plane_split([(b, 8)])
+        term, _ = banded_gather(planes_b, term_idx, BCH, BW, 0)
+        term = term[:, 0, :]
+    ext_val = jnp.clip(255 * run255 + term, 0, M17)
 
     lit_nib = b >> 4
     ml_nib = b & 15
@@ -131,11 +141,20 @@ def _speculative_parse(comp, C, k2_cap):
     lit_len = jnp.clip(lit_len, 0, M17)
     hdr = 1 + jnp.where(lit_nib == 15, 1 + ext_lit // 255, 0)
 
-    # match side: extension starts at mpos+2 (one long-range gather)
+    # match side: extension starts at mpos+2 (one long-range gather;
+    # fused path: 16-row diagonal window catches literal runs < ~2 KB,
+    # the rest is served exactly by the compacted-fallback full gather)
     mpos = jnp.clip(i[None, :] + hdr + lit_len, 0, C - 1)
-    (ext_m,), ovf = hier_gather([(ext_val, 17)],
-                                jnp.clip(mpos + 2, 0, C - 1),
-                                ch=BCH, w=BW, back=0, k2_cap=k2_cap)
+    mp2 = jnp.clip(mpos + 2, 0, C - 1)
+    if fused:
+        ext_m, band = fg.diag_gather(ext_val, mp2, 0, 16)
+        planes_e, spans_e = plane_split([(ext_val, 17)])
+        vals_p, _ = plane_split([(jnp.where(band, ext_m, 0), 17)])
+        merged, ovf = compact_fallback(planes_e, mp2, ~band, vals_p, k2_cap)
+        ext_m = plane_join(merged, spans_e)[0]
+    else:
+        (ext_m,), ovf = hier_gather([(ext_val, 17)], mp2,
+                                    ch=BCH, w=BW, back=0, k2_cap=k2_cap)
     ext_m = jnp.clip(ext_m, 0, M17)
     mlen = 4 + jnp.where(ml_nib == 15, 15 + ext_m, ml_nib)
     mlen = jnp.clip(mlen, 0, M17)
@@ -176,7 +195,7 @@ def _seg_lookup_1(planes3, local):
     return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16)
 
 
-def _segment_exits(g3, nseg):
+def _segment_exits(g3, nseg, fused=False):
     """H[b,s,e] = first chain position >= end of segment s starting from
     position 128*s+e, by in-segment pointer doubling (2^6 >= 43 tokens)."""
     seg_end = ((jnp.arange(nseg, dtype=jnp.int32) + 1) * SEG)[None, :, None]
@@ -184,7 +203,12 @@ def _segment_exits(g3, nseg):
     H = g3
     for _ in range(6):
         in_seg = H < seg_end
-        nxt = _seg_lookup_k(_seg_planes(H), H - seg_start)
+        if fused:
+            # in-segment lookup = native lane shuffle (mod-128 indexing
+            # wraps out-of-segment values; they are masked right after)
+            nxt = fg.lane_lookup(H, H - seg_start)
+        else:
+            nxt = _seg_lookup_k(_seg_planes(H), H - seg_start)
         H = jnp.where(in_seg, nxt, H)
     return H
 
@@ -248,9 +272,10 @@ def _chk(*arrays):
 
 @functools.partial(jax.jit,
                    static_argnames=("C", "D", "S_cap", "E_cap", "k2_cap",
-                                    "upto"))
+                                    "upto", "fused", "w_seq"))
 def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
-                            k2_cap=2048, upto=99, pre=None, pre_len=None):
+                            k2_cap=2048, upto=99, pre=None, pre_len=None,
+                            fused=False, w_seq=16):
     """Decode a batch of independent known-length blocks.
 
     comp: [B, C] int32 bytes (zero padded), comp_len/out_len: [B] int32.
@@ -292,13 +317,13 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
 
     # P1 — parse
     g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
-        _speculative_parse(comp, C, k2_cap=k2_cap)
+        _speculative_parse(comp, C, k2_cap=k2_cap, fused=fused)
     if upto == 1:
         return _chk(g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1)
 
     # P2 — chain threading
     g3 = g.reshape(B, nseg, SEG)
-    H3 = _segment_exits(g3, nseg)
+    H3 = _segment_exits(g3, nseg, fused=fused)
     if upto == 2:
         return _chk(H3)
     entries = _thread_chain(H3, nseg)
@@ -315,9 +340,19 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     valid_seq = tok_pos < C
     tok_c = jnp.clip(tok_pos, 0, C - 1)
 
-    # per-seq fields gathered once, sharing one one-hot construction
-    pp, sp = plane_split([(comp, 8), (lit_len_all, 17), (mlen_all, 17)])
-    b_s, lit_len_s, mlen_s = plane_join(full_gather(pp, tok_c), sp)
+    # per-seq fields gathered once; token positions are sorted, so the
+    # fused path uses per-row dynamic windows (w_seq rows; the dense
+    # retry pass widens them, anything still out of band -> ok=False
+    # -> host oracle)
+    seq_miss = jnp.zeros((B,), bool)
+    if fused:
+        (b_s, lit_len_s, mlen_s), band_f = fg.rowbase_gather(
+            (comp, lit_len_all, mlen_all), tok_c, w_seq, (8, 17, 17))
+        seq_miss = jnp.any(~band_f & valid_seq, axis=1)
+    else:
+        pp, sp = plane_split([(comp, 8), (lit_len_all, 17),
+                              (mlen_all, 17)])
+        b_s, lit_len_s, mlen_s = plane_join(full_gather(pp, tok_c), sp)
     lit_len_s = jnp.clip(lit_len_s, 0, D)
     mlen_s = jnp.clip(mlen_s, 0, D)
     lit_nib_s = b_s >> 4
@@ -327,8 +362,13 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
 
     off16 = comp | (jnp.concatenate(
         [comp[:, 1:], jnp.zeros_like(comp[:, :1])], axis=1) << 8)
-    op, osp = plane_split([(off16, 16)])
-    off_s = plane_join(full_gather(op, mpos_s), osp)[0]
+    if fused:
+        (off_s,), band_o = fg.rowbase_gather((off16,), mpos_s, w_seq,
+                                             (16,))
+        seq_miss = seq_miss | jnp.any(~band_o & valid_seq, axis=1)
+    else:
+        op, osp = plane_split([(off16, 16)])
+        off_s = plane_join(full_gather(op, mpos_s), osp)[0]
 
     adv_s = jnp.where(valid_seq, lit_len_s + mlen_s, 0)
     out_start_s = P + jnp.cumsum(adv_s, axis=1) - adv_s
@@ -397,11 +437,22 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     dlit_o = (payload_o & MASKP) - BIASD
     off_o = payload_o & M17
     comp_idx = jnp.clip(o[None, :] + dlit_o, 0, C - 1)
-    # literal sources are monotone in o but advance at the block's
-    # compression ratio, which a static band cannot track; one full
-    # 1-plane gather is ~1 ms/MB and always exact.
-    cp, csp = plane_split([(comp, 8)])
-    vals0 = plane_join(full_gather(cp, comp_idx), csp)[0]
+    if fused:
+        # literal sources advance <= 1 byte per output byte plus header
+        # skips, so 128 output lanes span < ~600 source bytes: per-row
+        # dynamic windows of 8 rows are always wide enough once match
+        # positions are replaced by the last literal source (cummax
+        # keeps the stream monotone through match spans)
+        lit_idx = jax.lax.cummax(jnp.where(is_lit_o, comp_idx, 0), axis=1)
+        (vals0,), band_l = fg.rowbase_gather((comp,), lit_idx, 8, (8,))
+        live_o = o[None, :] < out_lim
+        seq_miss = seq_miss | jnp.any(~band_l & is_lit_o & live_o, axis=1)
+    else:
+        # monotone in o but advancing at the block's compression ratio,
+        # which a static band cannot track; one full 1-plane gather is
+        # ~1 ms/MB and always exact.
+        cp, csp = plane_split([(comp, 8)])
+        vals0 = plane_join(full_gather(cp, comp_idx), csp)[0]
 
     phase = o[None, :] - ev_start_o
     ovl = (~is_lit_o) & (off_o > 0) & (phase >= off_o)
@@ -430,9 +481,13 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         pend0 = (t0 < VFLAG) & (t0 >= lo)
         n = jnp.where(pend0, jnp.clip(t0 - lo, 0, CH - 1), k[None, :])
 
-        def jump(n):
-            pp, sp = plane_split([(n, 13)])
-            return plane_join(full_gather(pp, n), sp)[0]
+        if fused:
+            def jump(n):
+                return fg.table_gather((n,), n, (13,))[0]
+        else:
+            def jump(n):
+                pp, sp = plane_split([(n, 13)])
+                return plane_join(full_gather(pp, n), sp)[0]
 
         n2 = jump(jump(n))
 
@@ -447,11 +502,18 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         _, n, _ = jax.lax.while_loop(cond, body, (n, n2, jnp.int32(0)))
 
         # one state resolve at the terminal ordinal
-        tp, tsp = plane_split([(t0, 20)])
-        t = plane_join(full_gather(tp, n), tsp)[0]
+        if fused:
+            t = fg.table_gather((t0,), n, (20,))[0]
+        else:
+            tp, tsp = plane_split([(t0, 20)])
+            t = plane_join(full_gather(tp, n), tsp)[0]
 
         if lo == 0:
             cv = jnp.zeros((B, CH), jnp.int32)
+        elif fused:
+            cv = fg.table_gather(
+                (jax.lax.slice_in_dim(out, 0, lo, axis=1),),
+                jnp.clip(t, 0, lo - 1), (8,))[0]
         else:
             tblp, tsp2 = plane_split([(jax.lax.slice_in_dim(
                 out, 0, lo, axis=1), 8)])
@@ -463,8 +525,20 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     if P:
         out = jax.lax.slice_in_dim(out, P, Dt, axis=1)
     out = out * (jnp.arange(D, dtype=jnp.int32)[None, :] < out_len[:, None])
-    ok = (n_seqs <= S_cap) & (n_ev <= E_cap) & (ovf1 == 0)
+    ok = (n_seqs <= S_cap) & (n_ev <= E_cap) & (ovf1 == 0) & ~seq_miss
     return out, total_out, ok, strict, consumed, needed
+
+
+def _use_fused() -> bool:
+    """Fused-Pallas gathers on real TPU; jnp/XLA path elsewhere (the CPU
+    test suite runs the jnp path fast, plus interpret-mode fused tests).
+    Override with LZ4NET_FUSED=0/1."""
+    import os
+    v = os.environ.get("LZ4NET_FUSED")
+    if v is not None:
+        return v == "1"
+    from ..models.tpu import probe_tpu_devices
+    return probe_tpu_devices()
 
 
 class VectorDecoder:
@@ -534,7 +608,8 @@ class VectorDecoder:
             out, total, ok, strict, consumed, needed = \
                 decode_batch_vectorized(
                     jnp.asarray(comp), jnp.asarray(comp_len),
-                    jnp.asarray(out_len), C, D, S_cap, E_cap, 8192)
+                    jnp.asarray(out_len), C, D, S_cap, E_cap, 8192,
+                    fused=_use_fused(), w_seq=64)
             out = np.asarray(out)
             total, ok = np.asarray(total), np.asarray(ok)
             strict, needed = np.asarray(strict), np.asarray(needed)
@@ -588,7 +663,8 @@ class VectorDecoder:
             decode_batch_vectorized(
                 jnp.asarray(comp), jnp.asarray(comp_len),
                 jnp.asarray(out_len), C, D, S_cap, E_cap, k2,
-                pre=pre, pre_len=pre_len)
+                pre=pre, pre_len=pre_len,
+                fused=_use_fused(), w_seq=64 if dense else 16)
         out = np.asarray(out)
         total = np.asarray(total)
         ok = np.asarray(ok)

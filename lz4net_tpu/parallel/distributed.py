@@ -23,8 +23,11 @@ def initialize(coordinator_address: str | None = None,
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID) or TPU-pod auto-detection.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    # Probe idempotence WITHOUT touching the XLA backend:
+    # jax.process_count() would initialise it, after which
+    # jax.distributed.initialize() refuses to run.
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kwargs["coordinator_address"] = (

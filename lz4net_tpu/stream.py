@@ -107,7 +107,8 @@ class LZ4Stream(io.RawIOBase):
     def __init__(self, inner_stream: BinaryIO, mode: LZ4StreamMode,
                  flags: LZ4StreamFlags = LZ4StreamFlags.DEFAULT,
                  block_size: int = DEFAULT_BLOCK_SIZE,
-                 hc_level: int = HC_LEVEL_DEFAULT):
+                 hc_level: int = HC_LEVEL_DEFAULT,
+                 read_ahead_chunks: int = 64):
         super().__init__()
         self._inner = inner_stream
         self._mode = mode
@@ -118,6 +119,12 @@ class LZ4Stream(io.RawIOBase):
         self._hc_level = hc_level
         self._buffer = bytearray()      # write: pending chunk / read: decoded chunk
         self._buffer_offset = 0         # read cursor into _buffer
+        # read path: chunks already read and batch-decoded, oldest first;
+        # interactive mode never reads ahead (socket semantics)
+        self._read_ahead = 1 if self._interactive else max(1,
+                                                           read_ahead_chunks)
+        self._decoded_queue: list[bytearray] = []
+        self._pending_error: Exception | None = None
 
     # --- capabilities -----------------------------------------------------
 
@@ -178,36 +185,82 @@ class LZ4Stream(io.RawIOBase):
 
     # --- read path --------------------------------------------------------
 
-    def _acquire_next_chunk(self) -> bool:
-        """Read and decode the next chunk; False at clean EOF
-        (`LZ4Stream.AcquireNextChunk`, `LZ4Stream.cs:274-312`)."""
+    def _read_chunk_record(self):
+        """Read one raw chunk record; None at clean EOF
+        (header parse of `LZ4Stream.AcquireNextChunk`, `LZ4Stream.cs:274-312`)."""
+        flags = try_read_varint(self._inner)
+        if flags is None:
+            return None
+        compressed = bool(flags & CHUNK_COMPRESSED)
+        original_length = read_varint(self._inner)
+        compressed_length = (read_varint(self._inner) if compressed
+                             else original_length)
+        if compressed_length > original_length:
+            raise EndOfStreamError("corrupted chunk header")
+        payload = _read_exactly(self._inner, compressed_length)
+        if len(payload) != compressed_length:
+            raise EndOfStreamError("truncated chunk payload")
+        return flags, original_length, payload
+
+    def _acquire_next_chunk(self, want: int | None = None) -> bool:
+        """Make the next decoded chunk current; False at clean EOF.
+
+        Unlike the reference's one-chunk-at-a-time loop, the read path
+        batches: it reads only as many chunk records as the caller's
+        request spans (never over-blocking on pipes/sockets beyond what
+        serving the request requires), then decodes them all in ONE
+        `codec.decode_batch` dispatch — the device-batched hot path.
+        ``want=None`` batches to end of stream (read-all).  Errors found
+        while reading ahead surface when the bad chunk is consumed,
+        preserving the reference's chunk-granular error semantics.
+        """
         while True:
-            flags = try_read_varint(self._inner)
-            if flags is None:
-                return False
-            compressed = bool(flags & CHUNK_COMPRESSED)
-            original_length = read_varint(self._inner)
-            compressed_length = (read_varint(self._inner) if compressed
-                                 else original_length)
-            if compressed_length > original_length:
-                raise EndOfStreamError("corrupted chunk header")
+            if self._decoded_queue:
+                self._buffer = self._decoded_queue.pop(0)
+                self._buffer_offset = 0
+                if self._buffer:
+                    return True
+                continue  # tolerated empty chunk: keep draining
 
-            payload = _read_exactly(self._inner, compressed_length)
-            if len(payload) != compressed_length:
-                raise EndOfStreamError("truncated chunk payload")
+            if self._pending_error is not None:
+                err, self._pending_error = self._pending_error, None
+                raise err
 
-            if compressed:
-                if flags >> 2:
-                    raise NotImplementedError(
+            records = []
+            got = 0
+            while want is None or got < want or not records:
+                try:
+                    rec = self._read_chunk_record()
+                except (EndOfStreamError, NotImplementedError) as exc:
+                    if not records:
+                        raise
+                    self._pending_error = exc   # raise when reached
+                    break
+                if rec is None:
+                    break
+                if (rec[0] & CHUNK_COMPRESSED) and rec[0] >> 2:
+                    exc = NotImplementedError(
                         "Chunks with multiple passes are not supported.")
-                self._buffer = bytearray(
-                    codec.decode(payload, original_length))
-            else:
-                self._buffer = bytearray(payload)
-            self._buffer_offset = 0
-            if self._buffer:
-                return True
-            # skip empty chunks (shouldn't happen, but tolerated)
+                    if not records:
+                        raise exc
+                    self._pending_error = exc
+                    break
+                records.append(rec)
+                got += rec[1]
+                if want is not None and len(records) >= self._read_ahead:
+                    break
+            if not records:
+                return False
+
+            packed_idx = [i for i, (f, n, _p) in enumerate(records)
+                          if (f & CHUNK_COMPRESSED) and n > 0]
+            decoded = codec.decode_batch(
+                [records[i][2] for i in packed_idx],
+                [records[i][1] for i in packed_idx]) if packed_idx else []
+            results = {i: d for i, d in zip(packed_idx, decoded)}
+            for i, (f, _n, payload) in enumerate(records):
+                self._decoded_queue.append(
+                    bytearray(results.get(i, payload)))
 
     def read(self, size: int = -1) -> bytes:
         if not self.readable():
@@ -219,7 +272,7 @@ class LZ4Stream(io.RawIOBase):
                 if avail:
                     out += self._buffer[self._buffer_offset:]
                     self._buffer_offset = len(self._buffer)
-                elif not self._acquire_next_chunk():
+                elif not self._acquire_next_chunk(None):
                     break
             return bytes(out)
 
@@ -236,7 +289,7 @@ class LZ4Stream(io.RawIOBase):
                 if self._interactive:
                     break  # return whatever is available ASAP
             else:
-                if not self._acquire_next_chunk():
+                if not self._acquire_next_chunk(remaining):
                     break
         return bytes(out)
 

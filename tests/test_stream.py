@@ -150,3 +150,38 @@ def test_stream_reader_stops_at_clean_chunk_boundary():
     with LZ4Stream(src, LZ4StreamMode.DECOMPRESS) as stream:
         assert stream.read() == data
         assert stream.read(10) == b""  # clean EOF, not an error
+
+
+def test_stream_read_uses_batched_decode(monkeypatch, make_test_data):
+    """The read path must decode chunks through ONE codec.decode_batch
+    dispatch (the device hot path), not chunk-at-a-time decode calls
+    (the reference's loop shape, `LZ4Stream.cs:274-312`, which a batched
+    engine cannot exploit)."""
+    from lz4net_tpu import codec
+
+    data = make_test_data(400_000, entropy=0.2)
+    framed = compress_stream(data, block_size=64 * 1024)
+
+    calls = []
+    real = codec.decode_batch
+    monkeypatch.setattr(codec, "decode_batch",
+                        lambda blocks, lens: calls.append(len(blocks))
+                        or real(blocks, lens))
+    assert decompress_stream(framed) == data
+    assert calls and max(calls) > 1, calls   # batched, not one-at-a-time
+
+
+def test_stream_interactive_reads_stay_chunk_at_a_time(make_test_data):
+    """InteractiveRead must not read ahead of the consumer (socket
+    semantics, `LZ4Stream.cs:376-401`): after serving the first chunk,
+    later chunks must still be unread from the inner stream."""
+    import io as _io
+
+    data = make_test_data(200_000, entropy=0.2)
+    framed = compress_stream(data, block_size=16 * 1024)
+    inner = _io.BytesIO(framed)
+    s = LZ4Stream(inner, LZ4StreamMode.DECOMPRESS,
+                  LZ4StreamFlags.INTERACTIVE_READ)
+    first = s.read(1)
+    assert first == data[:1]
+    assert inner.tell() < len(framed) // 2   # did not slurp the stream

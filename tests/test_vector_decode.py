@@ -137,3 +137,33 @@ def test_scatter_add_batched():
     for b in range(3):
         np.add.at(want[b], idx[b], w[b])
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_fused_path_interpret_mode_matches_oracle():
+    """The fused-Pallas gather path (ops/fused_gather), exercised in
+    interpret mode off-TPU: byte-exact against the CPU oracle for a mix
+    of structural cases in one batch.  On TPU this is the production
+    decode path (tools/check_fused_decode.py validates it on silicon)."""
+    import jax.numpy as jnp
+    from lz4net_tpu.ops.decode_vector import (CH, LANE, _cdiv,
+                                              decode_batch_vectorized)
+
+    datas = [CASES["text"], CASES["rle1"], CASES["period7"],
+             CASES["token0"]]
+    packs = [_compress(d) for d in datas]
+    C = _cdiv(max(len(p) for p in packs) + 1, 4096) * 4096
+    D = _cdiv(max(len(d) for d in datas) + 1, CH) * CH
+    S_cap = _cdiv(C // 3 + 2, LANE) * LANE
+    comp = np.zeros((len(packs), C), np.int32)
+    for i, p in enumerate(packs):
+        comp[i, :len(p)] = np.frombuffer(p, np.uint8)
+    out, total, ok, strict, _cons, needed = decode_batch_vectorized(
+        jnp.asarray(comp),
+        jnp.asarray(np.array([len(p) for p in packs], np.int32)),
+        jnp.asarray(np.array([len(d) for d in datas], np.int32)),
+        C, D, S_cap, 2 * S_cap, 2048, fused=True, w_seq=16)
+    out = np.asarray(out)
+    for i, d in enumerate(datas):
+        assert bool(np.asarray(ok)[i]) and bool(np.asarray(strict)[i])
+        assert int(np.asarray(total)[i]) == len(d)
+        assert out[i, :len(d)].astype(np.uint8).tobytes() == d

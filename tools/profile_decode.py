@@ -24,7 +24,8 @@ def main():
     from lz4net_tpu.ops.decode_vector import (BCH, CH, LANE, _cdiv,
                                               decode_batch_vectorized)
 
-    batches = [int(a) for a in sys.argv[1:]] or [16]
+    fused = "--fused" in sys.argv[1:]
+    batches = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [16]
     nmax = max(batches)
     data = corpus.silesia_like(nmax * BLOCK, seed=42)
     blocks = corpus.split_blocks(data, BLOCK)[:nmax]
@@ -64,7 +65,7 @@ def main():
     for upto in [1, 2, 3, 4, 5, 6, 7, 99]:
         t0 = time.time()
         per = timeit(lambda: decode_batch_vectorized(
-            cd, cld, old, C, D, S_cap, E_cap, 2048, upto))
+            cd, cld, old, C, D, S_cap, E_cap, 2048, upto, fused=fused))
         print(json.dumps({"B": B0, "upto": upto,
                           "cum_ms": round(per * 1e3, 3),
                           "phase_ms": round((per - prev) * 1e3, 3),
@@ -78,7 +79,7 @@ def main():
         old = jax.device_put(jnp.asarray(ol[:B]))
         t0 = time.time()
         per = timeit(lambda: decode_batch_vectorized(
-            cd, cld, old, C, D, S_cap, E_cap, 2048))
+            cd, cld, old, C, D, S_cap, E_cap, 2048, fused=fused))
         gbps = B * BLOCK / per / 1e9
         print(json.dumps({"B": B, "upto": 99, "cum_ms": round(per * 1e3, 3),
                           "gbps": round(gbps, 4),
