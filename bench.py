@@ -103,11 +103,13 @@ def _bench_pallas(blocks, packed):
 
 
 def _bench_vector(blocks, packed):
-    """Vectorised pipeline: fixed sub-batch shape, looped over the corpus."""
+    """Vectorised pipeline: fixed sub-batch shape, looped over the corpus.
+    On TPU this takes the fused megakernel path (records/resolve Pallas
+    kernels); decode_vector._use_fused() flips it automatically."""
     import jax
     import jax.numpy as jnp
     from lz4net_tpu.ops.decode_vector import BCH, CH, LANE, _cdiv, \
-        decode_batch_vectorized
+        _use_fused, decode_batch_vectorized
 
     out_lens = [len(b) for b in blocks]
     max_c = max(len(p) for p in packed)
@@ -130,11 +132,14 @@ def _bench_vector(blocks, packed):
     cl_d = jax.device_put(jnp.asarray(cl))
     ol_d = jax.device_put(jnp.asarray(ol))
 
+    fused = _use_fused()
+
     def one_pass():
         stats = []
         for s in range(n_sub):
             _out, total, ok, *_stats = decode_batch_vectorized(
-                comp_d[s], cl_d[s], ol_d[s], C, D, S_cap, E_cap, 2048)
+                comp_d[s], cl_d[s], ol_d[s], C, D, S_cap, E_cap, 2048,
+                fused=fused)
             stats.append((total, ok))
         return stats[-1]
 
@@ -156,8 +161,61 @@ def _bench_vector(blocks, packed):
     return per_pass / covered
 
 
+def _bench_encode(blocks, hc_level):
+    """Device encode throughput (vector encoder; hc_level 0 = fast
+    greedy, 9 = fast-HC), input bytes per second."""
+    import jax
+    import jax.numpy as jnp
+    from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv
+    from lz4net_tpu.ops.encode_vector import encode_batch_vectorized
+    from lz4net_tpu.constants import MINMATCH, maximum_output_length
+
+    B = VECTOR_SUB_BATCH
+    n_sub = len(blocks) // B
+    max_d = max(len(b) for b in blocks)
+    D = _cdiv(max_d + 1, CH) * CH
+    O = _cdiv(maximum_output_length(D) + 1, CH) * CH
+    S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
+    x = np.zeros((n_sub, B, D), np.int32)
+    dl = np.zeros((n_sub, B), np.int32)
+    for i, b in enumerate(blocks[:n_sub * B]):
+        x[i // B, i % B, :len(b)] = np.frombuffer(b, np.uint8)
+        dl[i // B, i % B] = len(b)
+    xd = jax.device_put(jnp.asarray(x))
+    dld = jax.device_put(jnp.asarray(dl))
+
+    def one_pass():
+        for s in range(n_sub):
+            out, out_len, ok = encode_batch_vectorized(
+                xd[s], dld[s], D, O, S_cap, hc_level=hc_level)
+        return out_len, ok
+
+    out_len, ok = one_pass()
+    if not np.asarray(ok).all():
+        raise RuntimeError("encode ok=False in bench batch")
+
+    def run(passes):
+        t0 = time.perf_counter()
+        for _ in range(passes):
+            ol, _ok = one_pass()
+        np.asarray(ol)
+        return time.perf_counter() - t0
+
+    run(1)
+    ta, tb = run(1), run(3)
+    per_pass = (tb - ta) / 2
+    covered = n_sub * B / len(blocks)
+    return per_pass / covered
+
+
 def _run_impl(impl):
     data, blocks, packed, ratio = build_workload()
+    if impl in ("encode", "encode_hc"):
+        per_iter = _bench_encode(blocks, 0 if impl == "encode" else 9)
+        print(json.dumps({"impl": impl,
+                          "gbps": round(len(data) / per_iter / 1e9, 4),
+                          "iter_ms": round(per_iter * 1e3, 3)}))
+        return
     fn = _bench_pallas if impl == "pallas" else _bench_vector
     per_iter = fn(blocks, packed)
     gbps = len(data) / per_iter / 1e9
@@ -166,9 +224,77 @@ def _run_impl(impl):
                       "ratio": round(ratio, 4)}))
 
 
+def _run_scaling():
+    """Virtual 8-device CPU mesh scaling row (BASELINE.md scaling
+    requirement; one real chip is available, so parallel efficiency is
+    measured on the forced-host mesh with the jnp pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from lz4net_tpu.models import native
+    from lz4net_tpu.ops.decode_vector import (BCH, CH, LANE, _cdiv,
+                                              decode_batch_vectorized)
+    from lz4net_tpu.parallel.mesh import BLOCK_AXIS, make_mesh
+    from lz4net_tpu.utils import corpus
+
+    n_dev = len(jax.devices())
+    per_dev = 2
+    data = corpus.silesia_like(n_dev * per_dev * BLOCK_SIZE, seed=42)
+    blocks = corpus.split_blocks(data, BLOCK_SIZE)
+    packed = [native.compress_block(b) for b in blocks]
+    C = _cdiv(max(len(p) for p in packed) + 1, BCH) * BCH
+    D = _cdiv(BLOCK_SIZE + 1, CH) * CH
+    S_cap = _cdiv(C // 5 + 2, LANE) * LANE
+    comp = np.zeros((len(packed), C), np.int32)
+    for i, p in enumerate(packed):
+        comp[i, :len(p)] = np.frombuffer(p, np.uint8)
+    cl = np.array([len(p) for p in packed], np.int32)
+    ol = np.array([len(b) for b in blocks], np.int32)
+
+    def timed(nd):
+        mesh = make_mesh(nd)
+        take = nd * per_dev
+
+        def shard_fn(c, l, o):
+            out, total, ok, *_ = decode_batch_vectorized(
+                c, l, o, C, D, S_cap, 2 * S_cap, 2048)
+            return jax.lax.psum(jnp.sum(total), BLOCK_AXIS)
+
+        step = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            out_specs=P(), check_vma=False))
+        sh = jax.sharding.NamedSharding(mesh, P(BLOCK_AXIS))
+        cd = jax.device_put(comp[:take], sh)
+        ld = jax.device_put(cl[:take], sh)
+        od = jax.device_put(ol[:take], sh)
+        assert int(step(cd, ld, od)) == int(ol[:take].sum())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = step(cd, ld, od)
+        int(r)
+        return (time.perf_counter() - t0) / 3, take * BLOCK_SIZE
+
+    t1, b1 = timed(1)
+    tn, bn = timed(n_dev)
+    eff = (bn / tn) / (b1 / t1) / n_dev
+    print(json.dumps({"impl": "scaling", "devices": n_dev,
+                      "gbps_1dev": round(b1 / t1 / 1e9, 4),
+                      "gbps_ndev": round(bn / tn / 1e9, 4),
+                      "parallel_efficiency": round(eff, 3)}))
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1].startswith("--impl="):
-        _run_impl(sys.argv[1].split("=", 1)[1])
+        impl = sys.argv[1].split("=", 1)[1]
+        if impl == "scaling":
+            _run_scaling()
+        else:
+            _run_impl(impl)
         return 0
 
     t_start = time.time()
@@ -181,6 +307,11 @@ def main():
         "block_kb": BLOCK_SIZE // 1024,
     }
     budgets = {"vector": int(os.environ.get("BENCH_TIMEOUT_VECTOR", "1500")),
+               "encode": int(os.environ.get("BENCH_TIMEOUT_ENCODE", "900")),
+               "encode_hc": int(os.environ.get("BENCH_TIMEOUT_ENCODE",
+                                               "900")),
+               "scaling": int(os.environ.get("BENCH_TIMEOUT_SCALING",
+                                             "600")),
                "pallas": int(os.environ.get("BENCH_TIMEOUT_PALLAS", "420"))}
     runs = {}
     for impl, budget in budgets.items():
@@ -189,10 +320,17 @@ def main():
             # budget when the vector pipeline already produced a number
             runs[impl] = {"skipped": "vector succeeded"}
             continue
+        env = dict(os.environ)
+        if impl == "scaling":
+            # virtual 8-device CPU mesh (one real chip is available)
+            env.update(JAX_PLATFORMS="cpu",
+                       XLA_FLAGS=(env.get("XLA_FLAGS", "")
+                                  + " --xla_force_host_platform_device"
+                                    "_count=8"))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), f"--impl={impl}"],
-                capture_output=True, text=True, timeout=budget,
+                capture_output=True, text=True, timeout=budget, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
             runs[impl] = json.loads(line) if line.startswith("{") else \
@@ -204,14 +342,25 @@ def main():
 
     best = None
     for impl, r in runs.items():
-        if "gbps" in r and (best is None or r["gbps"] > runs[best]["gbps"]):
+        if impl in ("vector", "pallas") and "gbps" in r \
+                and (best is None or r["gbps"] > runs[best]["gbps"]):
             best = impl
     if best is not None:
         result["value"] = runs[best]["gbps"]
         result["vs_baseline"] = round(runs[best]["gbps"] / BASELINE_GBPS, 4)
         result["impl"] = best
         result["ratio"] = runs[best].get("ratio")
-    result["runs"] = {k: (v.get("gbps", v.get("error"))) for k, v in runs.items()}
+    if "gbps" in runs.get("encode", {}):
+        result["encode_gbps"] = runs["encode"]["gbps"]
+    if "gbps" in runs.get("encode_hc", {}):
+        result["hc_encode_gbps"] = runs["encode_hc"]["gbps"]
+        # reference fast-compress baseline ~0.4 GB/s/core (doc/readme.md:5)
+        result["encode_vs_baseline"] = round(
+            runs["encode"].get("gbps", 0) / 0.4, 4)
+    if "parallel_efficiency" in runs.get("scaling", {}):
+        result["scaling"] = runs["scaling"]
+    result["runs"] = {k: (v.get("gbps", v.get("error", v.get("skipped"))))
+                      for k, v in runs.items()}
     result["wall_s"] = round(time.time() - t_start, 1)
     print(json.dumps(result))
     return 0

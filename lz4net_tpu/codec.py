@@ -63,9 +63,16 @@ def encode(src: bytes, dst_maxlen: int | None = None, *,
 
 def encode_hc(src: bytes, dst_maxlen: int | None = None,
               level: int = HC_LEVEL_DEFAULT, *,
-              dictionary: bytes | None = None) -> bytes:
+              dictionary: bytes | None = None,
+              mode: str = "strict") -> bytes:
     """LZ4HC block compression.  ``level`` (1..9) maps onto the chain-search
-    budget; level 9 reproduces the reference's fixed-effort parse."""
+    budget; level 9 reproduces the reference's fixed-effort parse.
+
+    ``mode="strict"`` (default) is parse-identical across engines.
+    ``mode="fast"`` routes to the device fast-HC encoder on TPU
+    (deeper candidate tiers + lazy parse): format-valid output whose
+    corpus-wide ratio is <= the reference HC parse, not byte-identical
+    to it."""
     if len(src) == 0:
         return b""
     if dst_maxlen is None:
@@ -75,6 +82,11 @@ def encode_hc(src: bytes, dst_maxlen: int | None = None,
         attempts = MAX_NB_ATTEMPTS if level >= 9 else hc_level_attempts(level)
         return _dict_engine().compress_block_hc_dict(
             dictionary, bytes(src), dst_maxlen, attempts)
+    if mode == "fast":
+        from .models import tpu
+        if tpu.is_available():
+            return tpu.compress_blocks_hc_fast([bytes(src)], [dst_maxlen],
+                                               level)[0]
     return registry.encoder_hc().encode_hc(bytes(src), dst_maxlen, level)
 
 

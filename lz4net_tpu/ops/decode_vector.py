@@ -334,25 +334,60 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     if upto == 4:
         return _chk(mark)
 
+    if fused:
+        # megakernel path: records/events/per-byte state in one kernel
+        # (ops/records_kernel.py), then the wavefront resolver; no
+        # sequence/event caps apply (nothing is compacted)
+        from .records_kernel import records_to_state
+        from .resolve_kernel import resolve_wavefront
+        if pre_len is None:
+            pre_len = jnp.zeros((B,), jnp.int32)
+        t0m, cidx, stats = records_to_state(
+            comp, mark, lit_len_all, mlen_all, comp_len, out_len,
+            pre_len, C, Dt, P)
+        n_seqs = stats[:, 0]
+        total_out = stats[:, 1]
+        strict = stats[:, 2].astype(bool)
+        consumed = stats[:, 3]
+        needed = stats[:, 4]
+        rk_miss = stats[:, 5].astype(bool)
+        if upto == 5:
+            return _chk(stats)
+        if upto == 6:
+            return _chk(t0m, cidx)
+
+        is_lit_o = cidx >= 0
+        lit_idx = jax.lax.cummax(
+            jnp.where(is_lit_o, jnp.clip(cidx, 0, C - 1), 0), axis=1)
+        (vals0,), band_l = fg.rowbase_gather((comp,), lit_idx, 8, (8,))
+        out_lim = P + out_len[:, None]
+        live_o = o[None, :] < out_lim
+        lit_miss = jnp.any(~band_l & is_lit_o & live_o, axis=1)
+        T0 = jnp.where(is_lit_o, VFLAG | (vals0 & 0xFF), t0m)
+        if P:
+            T0 = jnp.where(o[None, :] < P,
+                           VFLAG | jnp.concatenate(
+                               [pre, jnp.zeros((B, D), jnp.int32)],
+                               axis=1), T0)
+        if upto == 7:
+            return _chk(T0)
+        out, res_ok = resolve_wavefront(T0, start_chunk=P // CH)
+        if P:
+            out = jax.lax.slice_in_dim(out, P, Dt, axis=1)
+        out = out * (jnp.arange(D, dtype=jnp.int32)[None, :]
+                     < out_len[:, None])
+        ok = ~rk_miss & ~lit_miss & res_ok & (ovf1 == 0)
+        return out, total_out, ok, strict, consumed, needed
+
     # P3 — sequence records
     n_seqs = jnp.sum(mark, axis=1)
     tok_pos = sorted_compact(mark == 1, S_cap, big=C)      # [B, S_cap]
     valid_seq = tok_pos < C
     tok_c = jnp.clip(tok_pos, 0, C - 1)
 
-    # per-seq fields gathered once; token positions are sorted, so the
-    # fused path uses per-row dynamic windows (w_seq rows; the dense
-    # retry pass widens them, anything still out of band -> ok=False
-    # -> host oracle)
-    seq_miss = jnp.zeros((B,), bool)
-    if fused:
-        (b_s, lit_len_s, mlen_s), band_f = fg.rowbase_gather(
-            (comp, lit_len_all, mlen_all), tok_c, w_seq, (8, 17, 17))
-        seq_miss = jnp.any(~band_f & valid_seq, axis=1)
-    else:
-        pp, sp = plane_split([(comp, 8), (lit_len_all, 17),
-                              (mlen_all, 17)])
-        b_s, lit_len_s, mlen_s = plane_join(full_gather(pp, tok_c), sp)
+    # per-seq fields gathered once, sharing one one-hot construction
+    pp, sp = plane_split([(comp, 8), (lit_len_all, 17), (mlen_all, 17)])
+    b_s, lit_len_s, mlen_s = plane_join(full_gather(pp, tok_c), sp)
     lit_len_s = jnp.clip(lit_len_s, 0, D)
     mlen_s = jnp.clip(mlen_s, 0, D)
     lit_nib_s = b_s >> 4
@@ -362,13 +397,8 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
 
     off16 = comp | (jnp.concatenate(
         [comp[:, 1:], jnp.zeros_like(comp[:, :1])], axis=1) << 8)
-    if fused:
-        (off_s,), band_o = fg.rowbase_gather((off16,), mpos_s, w_seq,
-                                             (16,))
-        seq_miss = seq_miss | jnp.any(~band_o & valid_seq, axis=1)
-    else:
-        op, osp = plane_split([(off16, 16)])
-        off_s = plane_join(full_gather(op, mpos_s), osp)[0]
+    op, osp = plane_split([(off16, 16)])
+    off_s = plane_join(full_gather(op, mpos_s), osp)[0]
 
     adv_s = jnp.where(valid_seq, lit_len_s + mlen_s, 0)
     out_start_s = P + jnp.cumsum(adv_s, axis=1) - adv_s
@@ -437,22 +467,11 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     dlit_o = (payload_o & MASKP) - BIASD
     off_o = payload_o & M17
     comp_idx = jnp.clip(o[None, :] + dlit_o, 0, C - 1)
-    if fused:
-        # literal sources advance <= 1 byte per output byte plus header
-        # skips, so 128 output lanes span < ~600 source bytes: per-row
-        # dynamic windows of 8 rows are always wide enough once match
-        # positions are replaced by the last literal source (cummax
-        # keeps the stream monotone through match spans)
-        lit_idx = jax.lax.cummax(jnp.where(is_lit_o, comp_idx, 0), axis=1)
-        (vals0,), band_l = fg.rowbase_gather((comp,), lit_idx, 8, (8,))
-        live_o = o[None, :] < out_lim
-        seq_miss = seq_miss | jnp.any(~band_l & is_lit_o & live_o, axis=1)
-    else:
-        # monotone in o but advancing at the block's compression ratio,
-        # which a static band cannot track; one full 1-plane gather is
-        # ~1 ms/MB and always exact.
-        cp, csp = plane_split([(comp, 8)])
-        vals0 = plane_join(full_gather(cp, comp_idx), csp)[0]
+    # monotone in o but advancing at the block's compression ratio,
+    # which a static band cannot track; one full 1-plane gather is
+    # ~1 ms/MB and always exact.
+    cp, csp = plane_split([(comp, 8)])
+    vals0 = plane_join(full_gather(cp, comp_idx), csp)[0]
 
     phase = o[None, :] - ev_start_o
     ovl = (~is_lit_o) & (off_o > 0) & (phase >= off_o)
@@ -481,13 +500,9 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         pend0 = (t0 < VFLAG) & (t0 >= lo)
         n = jnp.where(pend0, jnp.clip(t0 - lo, 0, CH - 1), k[None, :])
 
-        if fused:
-            def jump(n):
-                return fg.table_gather((n,), n, (13,))[0]
-        else:
-            def jump(n):
-                pp, sp = plane_split([(n, 13)])
-                return plane_join(full_gather(pp, n), sp)[0]
+        def jump(n):
+            pp, sp = plane_split([(n, 13)])
+            return plane_join(full_gather(pp, n), sp)[0]
 
         n2 = jump(jump(n))
 
@@ -502,18 +517,11 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         _, n, _ = jax.lax.while_loop(cond, body, (n, n2, jnp.int32(0)))
 
         # one state resolve at the terminal ordinal
-        if fused:
-            t = fg.table_gather((t0,), n, (20,))[0]
-        else:
-            tp, tsp = plane_split([(t0, 20)])
-            t = plane_join(full_gather(tp, n), tsp)[0]
+        tp, tsp = plane_split([(t0, 20)])
+        t = plane_join(full_gather(tp, n), tsp)[0]
 
         if lo == 0:
             cv = jnp.zeros((B, CH), jnp.int32)
-        elif fused:
-            cv = fg.table_gather(
-                (jax.lax.slice_in_dim(out, 0, lo, axis=1),),
-                jnp.clip(t, 0, lo - 1), (8,))[0]
         else:
             tblp, tsp2 = plane_split([(jax.lax.slice_in_dim(
                 out, 0, lo, axis=1), 8)])
@@ -525,7 +533,7 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     if P:
         out = jax.lax.slice_in_dim(out, P, Dt, axis=1)
     out = out * (jnp.arange(D, dtype=jnp.int32)[None, :] < out_len[:, None])
-    ok = (n_seqs <= S_cap) & (n_ev <= E_cap) & (ovf1 == 0) & ~seq_miss
+    ok = (n_seqs <= S_cap) & (n_ev <= E_cap) & (ovf1 == 0)
     return out, total_out, ok, strict, consumed, needed
 
 

@@ -85,6 +85,30 @@ def _u32(x):
     return x | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
+def _first_occurrence(keys):
+    """first[i] = smallest j < i whose ``keys`` tuple equals position
+    i's, else -1 — the deepest chain candidate of the reference's HC
+    search (`lz4hc.c:394-460` walks toward it)."""
+    B, D = keys[0].shape
+    i = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32)[None, :],
+                         keys[0].shape)
+    sorted_ = jax.lax.sort(tuple(keys) + (i,), dimension=-1,
+                           num_keys=len(keys))
+    same = jnp.ones((B, D - 1), bool)
+    for ks in sorted_[:-1]:
+        same = same & (ks[:, 1:] == ks[:, :-1])
+    same = jnp.concatenate([jnp.zeros((B, 1), bool), same], axis=1)
+    i_sorted = sorted_[-1]
+    # fill-forward the group head's position, then inverse-permute
+    head = jnp.where(same, 0, i_sorted + 1)
+    head = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == 0, a, b), head, axis=1) - 1
+    first_sorted = jnp.where(same, head, -1)   # head itself has no prior
+    _, first = jax.lax.sort((i_sorted, first_sorted), dimension=-1,
+                            num_keys=1)
+    return first
+
+
 def _prev_occurrence(keys):
     """prev[i] = largest j < i whose ``keys`` tuple equals position i's,
     else -1.
@@ -144,7 +168,8 @@ def _xor_match_bytes_rev(wa, wb):
                             jnp.where(diff != 0, 3, 4))))
 
 
-def _match_lengths(x, u32, prev, m8, data_len, D, rcap):
+def _match_lengths(x, u32, prev, m8, data_len, D, rcap,
+                   top_offsets=TOP_OFFSETS, sub_step=16):
     """(matched, offset, mlen) for every position; far matches capped at
     MAX_FAR_MLEN (the merge pass recovers longer ones).  ``m8`` marks
     positions whose candidate came from the 8-byte-prefix sort (first 8
@@ -201,13 +226,13 @@ def _match_lengths(x, u32, prev, m8, data_len, D, rcap):
     # histogram + top_k) cover structured/text data, where long far
     # matches cluster on a few periods; anything else keeps the capped
     # length and relies on the merge pass.
-    sub = slice(None, None, 16)
+    sub = slice(None, None, sub_step)
     sub_far = far[:, sub]
     hist = scatter_add_planes(
         jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
         sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
-    _, dks = jax.lax.top_k(hist, TOP_OFFSETS)
-    for t in range(TOP_OFFSETS):
+    _, dks = jax.lax.top_k(hist, top_offsets)
+    for t in range(top_offsets):
         dk = dks[:, t]
         rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(x, dk)
         eq = (x == rolled) & (i[None, :] >= dk[:, None])
@@ -233,8 +258,10 @@ def _next_match_at_or_after(matched, D):
     return jnp.flip(nm_rev, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap"))
-def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096):
+@functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap",
+                                              "hc_level"))
+def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
+                            hc_level=0):
     """Greedy-encode a batch of independent blocks.
 
     x: [B, D] int32 bytes (zero padded), data_len: [B] int32.
@@ -242,16 +269,28 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096):
     (>= maximum_output_length(D)); S_cap the record cap (a cap of
     D // MINMATCH + margin can never overflow).
     Returns (out [B, O] int32 bytes, out_len [B] int32, ok [B] bool).
+
+    ``hc_level`` > 0 enables the high-compression search (the device
+    analogue of the reference's chain-based LZ4HC,
+    `original/lz4hc.c:394-521`): deeper prefix-sort candidate tiers
+    stand in for chain walking (a 2^k-byte-prefix neighbour in suffix
+    order is a chain candidate with guaranteed LCP >= 2^k), and levels
+    >= 4 add the lazy 1-ahead parse of `LZ4_compressHCCtx`
+    (`lz4hc.c:557-700`): a match is deferred when the next position
+    holds a strictly longer one.  Output is format-valid fast-HC — it
+    decodes bit-exactly everywhere and its ratio is validated against
+    the reference HC parse corpus-wide (tests/test_hc_device.py); the
+    bit-exact level-9 parse stays on the CPU engines.
     """
     B = x.shape[0]
     i = jnp.arange(D, dtype=jnp.int32)
     o = jnp.arange(O, dtype=jnp.int32)
     k = jnp.arange(S_cap, dtype=jnp.int32)
 
-    # E1/E2 — candidates + lengths.  Two candidate tiers: the nearest
-    # 8-byte-prefix occurrence (guaranteed LCP >= 8) beats the nearest
-    # 4-byte one — the nearest 4-byte occurrence often has a short LCP
-    # where an older occurrence matches much longer.
+    # E1/E2 — candidates + lengths.  Candidate tiers: the nearest
+    # 2^k-byte-prefix occurrence (guaranteed LCP >= 2^k) beats nearer
+    # occurrences with shorter shared prefixes; higher tiers only for
+    # HC levels (two extra stable sorts each).
     u32 = _u32(x)
     u32s4 = jnp.concatenate([u32[:, 4:], jnp.zeros_like(u32[:, :4])], axis=1)
     prev4 = _prev_occurrence((u32,))
@@ -260,6 +299,74 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096):
     prev = jnp.where(m8, prev8, prev4)
     matched, off_all, mlen_all = _match_lengths(
         x, u32, prev, m8, data_len, D, rcap)
+
+    import os
+    _dbg = os.environ.get("LZ4NET_HC_DEBUG", "")
+    if hc_level > 0:
+        def shift32(w, nbytes):
+            return jnp.concatenate(
+                [w[:, nbytes:], jnp.zeros_like(w[:, :nbytes])], axis=1)
+
+        # candidate sets standing in for the chain walk: nearest + 2nd
+        # nearest 8-byte-prefix occurrence, then 12/16/32-byte prefixes
+        cand_sets = []
+        p8b = _prev_occurrence((u32, u32s4))
+        # +1 bias so "no predecessor" (-1) stays distinguishable through
+        # the gather (a clamped -1 would fabricate position 0 as a
+        # verified candidate)
+        pp8, psp8 = plane_split([(p8b + 1, 18)])
+        p8_2 = plane_join(full_gather(pp8, jnp.maximum(p8b, 0)),
+                          psp8)[0] - 1
+        p8_2 = jnp.where((p8b >= 0) & (p8_2 >= 0), p8_2, -1)
+        if "no2nd" not in _dbg:
+            cand_sets.append((p8_2, True))              # 2nd-nearest 8B
+        if "nofirst" not in _dbg:
+            cand_sets.append((_first_occurrence((u32, u32s4)), True))
+            # 2nd-nearest 4-byte occurrence (LCP verified from byte 4)
+            pp4, psp4 = plane_split([(prev4 + 1, 18)])
+            p4_2 = plane_join(full_gather(pp4, jnp.maximum(prev4, 0)),
+                              psp4)[0] - 1
+            p4_2 = jnp.where((prev4 >= 0) & (p4_2 >= 0), p4_2, -1)
+            cand_sets.append((p4_2, False))
+        if "no12" not in _dbg:
+            cand_sets.append((_prev_occurrence(
+                (u32, u32s4, shift32(u32, 8))), True))  # 12-byte prefix
+        if "no16" not in _dbg:
+            cand_sets.append((_prev_occurrence(
+                (u32, u32s4, shift32(u32, 8), shift32(u32, 12))), True))
+        if hc_level >= 2 and "no32" not in _dbg:
+            cand_sets.append((_prev_occurrence(
+                (u32, u32s4, shift32(u32, 8), shift32(u32, 12),
+                 shift32(u32, 16), shift32(u32, 20), shift32(u32, 24),
+                 shift32(u32, 28))), True))             # 32-byte prefix
+        for prev_t, verified8 in cand_sets:
+            ok_t = (prev_t >= 0) & (i[None, :] - prev_t <= MAX_DISTANCE)
+            # the "first 8 bytes verified" claim must track which
+            # candidate each position actually uses
+            claim = (ok_t & verified8) | (~ok_t & m8)
+            m_t, off_t, ml_t = _match_lengths(
+                x, u32, jnp.where(ok_t, prev_t, prev),
+                claim, data_len, D, rcap,
+                top_offsets=24, sub_step=8)
+            better = m_t & ok_t & (ml_t > mlen_all)
+            matched = matched | better
+            off_all = jnp.where(better, off_t, off_all)
+            mlen_all = jnp.where(better, ml_t, mlen_all)
+
+        if hc_level >= 4 and "nolazy" not in _dbg:
+            # lazy parse: defer a match when position i+1 holds a
+            # strictly longer one, or i+2 holds one longer by > 1
+            # (the r93 lazy/2-ahead shape, `lz4hc.c:612-660`)
+            ml1 = jnp.concatenate(
+                [mlen_all[:, 1:], jnp.zeros_like(mlen_all[:, :1])], axis=1)
+            m1 = jnp.concatenate(
+                [matched[:, 1:], jnp.zeros_like(matched[:, :1])], axis=1)
+            ml2 = jnp.concatenate(
+                [mlen_all[:, 2:], jnp.zeros_like(mlen_all[:, :2])], axis=1)
+            m2 = jnp.concatenate(
+                [matched[:, 2:], jnp.zeros_like(matched[:, :2])], axis=1)
+            defer = (m1 & (ml1 > mlen_all)) | (m2 & (ml2 > mlen_all + 1))
+            matched = matched & ~defer
 
     # E3 — greedy parse: chain-thread the "next token" graph
     nm = _next_match_at_or_after(matched, D)
@@ -299,7 +406,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096):
     up2, usp2 = plane_split([(u32, 32)])
     cb = jnp.zeros_like(tok_c)
     can = valid & (mlen_s > 0)
-    for _ in range(2):
+    for _ in range(2 if hc_level == 0 else 8):
         cb_max = jnp.minimum(lit_len, tok_c - off_s)   # stay in bounds
         pa = jnp.clip(tok_c - cb - 4, 0, x.shape[1] - 1)
         pb = jnp.clip(tok_c - off_s - cb - 4, 0, x.shape[1] - 1)
@@ -433,7 +540,9 @@ class VectorEncoder:
 
     MAX_BLOCK = 96 * 1024
 
-    def encode_batch(self, blocks, dst_maxlens=None):
+    def encode_batch(self, blocks, dst_maxlens=None, hc_level=0):
+        """``hc_level`` 0 = fast greedy; 1-9 = fast-HC (deeper candidate
+        tiers, lazy parse from level 4 — see encode_batch_vectorized)."""
         n = len(blocks)
         if n == 0:
             return []
@@ -452,7 +561,8 @@ class VectorEncoder:
                 x[j, :len(blocks[b])] = np.frombuffer(blocks[b], np.uint8)
             dl = np.array([len(blocks[b]) for b in device], np.int32)
             out, out_len, ok = encode_batch_vectorized(
-                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap)
+                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
+                hc_level=min(max(hc_level, 0), 9))
             out = np.asarray(out)
             out_len, ok = np.asarray(out_len), np.asarray(ok)
             for j, b in enumerate(device):
@@ -463,12 +573,15 @@ class VectorEncoder:
                         if len(payload) <= dst_maxlens[b] else b""
         for b in range(n):
             if results[b] is None:
-                results[b] = self._host_encode(blocks[b], dst_maxlens[b])
+                results[b] = self._host_encode(blocks[b], dst_maxlens[b],
+                                               hc_level)
         return results
 
     @staticmethod
-    def _host_encode(block, dst_maxlen):
+    def _host_encode(block, dst_maxlen, hc_level=0):
         from ..models import native
         from ..models import reference
         eng = native if native.is_available() else reference
+        if hc_level > 0:
+            return eng.compress_block_hc(block, dst_maxlen)
         return eng.compress_block(block, dst_maxlen)

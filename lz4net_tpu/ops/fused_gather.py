@@ -69,9 +69,13 @@ def _take_lane(src, idx):
 
 
 def _shift_rows(tbl, shift):
-    """Rows shifted so row r holds tbl[r + shift] (zero fill)."""
+    """Rows shifted so row r holds tbl[r + shift] (zero fill; |shift|
+    may exceed the row count)."""
+    R = tbl.shape[0]
     if shift == 0:
         return tbl
+    if abs(shift) >= R:
+        return jnp.zeros((R, LANE), jnp.int32)
     if shift > 0:
         return jnp.concatenate(
             [tbl[shift:], jnp.zeros((shift, LANE), jnp.int32)], axis=0)

@@ -1,0 +1,150 @@
+"""Wavefront match-resolution megakernel.
+
+Replaces decode_vector's P8 chunk loop (9 sequential XLA stages with
+while_loops and HBM round-trips per op — measured 18.5 ms per 16x64 KB
+batch) with ONE Pallas kernel per block that keeps the whole output in
+VMEM:
+
+* per 8 KB chunk: in-chunk match nesting collapses by pointer doubling
+  over the chunk-local ordinal table (one-hot matmul gathers, 64-row
+  tables, 2 planes); RLE/overlapping matches were already collapsed
+  analytically upstream, so real chains are shallow — ROUNDS doubling
+  rounds cover depth 2^ROUNDS, deeper blocks set ok=False and fall back
+  to the host oracle;
+* terminal states resolve in-place (literal values travel in the state
+  word); cross-chunk references read already-resolved bytes from the
+  output ref, which lives in VMEM for the kernel's whole lifetime.
+
+State-word encoding (from decode_vector): t0[o] = VFLAG|byte for a
+terminal (literal/dict byte), else the match source position (< VFLAG).
+Chunks below ``start_chunk`` hold a pre-resolved prefix (the preset
+dictionary window) encoded as terminals.
+
+Reference semantics: the overlap-aware backward copy of
+`LZ4_uncompress` (`Safe64.Dirty.cs:608-650`), vectorised.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+CH = 8192            # chunk (output positions); must match decode_vector
+CR = CH // LANE      # 64 rows per chunk
+VFLAG = 1 << 19
+ROUNDS = 5           # 2^5 = 32-deep nesting before host fallback
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _interpret() -> bool:
+    d = jax.devices()[0]
+    return not ("TPU" in d.device_kind.upper() or d.platform == "tpu")
+
+
+def _take_lane(src, idx):
+    return jnp.take_along_axis(src, idx & (LANE - 1), axis=-1)
+
+
+def _rows_oh(idx2, nrows):
+    """[R,128] int32 row indices -> [R*128, nrows] bf16 one-hot."""
+    r, l = idx2.shape
+    oh = (idx2[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (r, l, nrows), 2)).astype(jnp.bfloat16)
+    return oh.reshape(r * l, nrows)
+
+
+def _gather_tbl(tbl, idx, planes, sub=2048):
+    """out[q] = tbl[idx[q]] for tbl [R,128] (R*128-entry table) and idx
+    [KR,128]; `planes` 8-bit planes; subchunked to bound the one-hot."""
+    R = tbl.shape[0]
+    KR = idx.shape[0]
+    pl_tbls = [((tbl >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+               for p in range(planes)]
+    srows = max(1, min(sub // LANE, KR))
+    outs = []
+    for c in range(_cdiv(KR, srows)):
+        lo = c * srows
+        cr = min(srows, KR - lo)
+        part = idx[lo:lo + cr]
+        row = jnp.clip(part >> 7, 0, R - 1)
+        oh = _rows_oh(row, R)
+        lane = jnp.broadcast_to((part & (LANE - 1))[..., None],
+                                (cr, LANE, LANE)).reshape(cr * LANE, LANE)
+        acc = None
+        for p, tp in enumerate(pl_tbls):
+            rows = jax.lax.dot_general(
+                oh, tp, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            v = _take_lane(rows, lane).reshape(cr, LANE, LANE)[:, :, 0]
+            acc = v if p == 0 else acc | (v << (8 * p))
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
+    kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
+        + jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 1)
+
+    # chunk loop as fori_loop (an unrolled loop makes the Mosaic program
+    # ~9x larger and pushes compiles past 30 minutes); the cross-chunk
+    # value gather always spans the full output ref — indices are
+    # clipped below the chunk base, so the unwritten tail is never read
+    def body(j, ok):
+        t0 = t0_ref[0, pl.ds(j * CR, CR), :]
+        lo = j * CH
+        pend = (t0 < VFLAG) & (t0 >= lo)
+        n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
+        for _ in range(ROUNDS):
+            n = _gather_tbl(n, n, 2)
+        n1 = _gather_tbl(n, n, 2)
+        deep = jnp.any(n1 != n)
+        t = _gather_tbl(t0, n, 3)
+        cv = _gather_tbl(out_ref[0], jnp.clip(t, 0, jnp.maximum(lo - 1, 0)),
+                         1)
+        res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
+        # dict-prefix chunks arrive pre-resolved as terminals
+        res = jnp.where(j < start_chunk, t0 & 0xFF, res)
+        out_ref[0, pl.ds(j * CR, CR), :] = res
+        return ok & jnp.where(j < start_chunk, 1,
+                              (~deep).astype(jnp.int32))
+
+    ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
+    # ok is a full-array SMEM block shared across grid steps (TPU
+    # lowering rejects per-step (1,1) SMEM blocks); each step writes
+    # its own row
+    ok_ref[pl.program_id(0), 0] = ok
+
+
+@functools.partial(jax.jit, static_argnames=("start_chunk",))
+def resolve_wavefront(t0, start_chunk: int = 0):
+    """t0: [B, Dt] int32 state words (Dt % 8192 == 0).  Returns
+    (out [B, Dt] int32 bytes, ok [B] bool); ok=False flags blocks whose
+    in-chunk nesting exceeded 2^ROUNDS (host fallback)."""
+    B, Dt = t0.shape
+    nchunks = Dt // CH
+    rows = Dt // LANE
+    kern = functools.partial(_resolve_kernel, nchunks, start_chunk)
+    out, okk = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, rows, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, 1), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(t0.reshape(B, rows, LANE))
+    return out.reshape(B, Dt), okk[:, 0].astype(bool)
