@@ -315,24 +315,34 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     i = jnp.arange(C, dtype=jnp.int32)
     o = jnp.arange(Dt, dtype=jnp.int32)
 
-    # P1 — parse
-    g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
-        _speculative_parse(comp, C, k2_cap=k2_cap, fused=fused)
-    if upto == 1:
-        return _chk(g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1)
+    if fused:
+        # P1–P4 in one kernel (ops/parse_kernel.py); a parse-window miss
+        # on a marked token is certified per block and falls back
+        from .parse_kernel import parse_tokens
+        mark, lit_len_all, mlen_all, pmiss = parse_tokens(
+            comp, comp_len, C)
+        if upto in (1, 2, 3, 4):
+            return _chk(mark, lit_len_all, mlen_all, pmiss)
+    else:
+        # P1 — parse
+        g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
+            _speculative_parse(comp, C, k2_cap=k2_cap, fused=fused)
+        pmiss = ovf1 != 0
+        if upto == 1:
+            return _chk(g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1)
 
-    # P2 — chain threading
-    g3 = g.reshape(B, nseg, SEG)
-    H3 = _segment_exits(g3, nseg, fused=fused)
-    if upto == 2:
-        return _chk(H3)
-    entries = _thread_chain(H3, nseg)
-    if upto == 3:
-        return _chk(entries)
-    mark = _mark_tokens(g3, entries, nseg)
-    mark = mark * (i[None, :] < comp_len[:, None])
-    if upto == 4:
-        return _chk(mark)
+        # P2 — chain threading
+        g3 = g.reshape(B, nseg, SEG)
+        H3 = _segment_exits(g3, nseg, fused=fused)
+        if upto == 2:
+            return _chk(H3)
+        entries = _thread_chain(H3, nseg)
+        if upto == 3:
+            return _chk(entries)
+        mark = _mark_tokens(g3, entries, nseg)
+        mark = mark * (i[None, :] < comp_len[:, None])
+        if upto == 4:
+            return _chk(mark)
 
     if fused:
         # megakernel path: records/events/per-byte state in one kernel
@@ -376,7 +386,7 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
             out = jax.lax.slice_in_dim(out, P, Dt, axis=1)
         out = out * (jnp.arange(D, dtype=jnp.int32)[None, :]
                      < out_len[:, None])
-        ok = ~rk_miss & ~lit_miss & res_ok & (ovf1 == 0)
+        ok = ~rk_miss & ~lit_miss & res_ok & ~pmiss
         return out, total_out, ok, strict, consumed, needed
 
     # P3 — sequence records

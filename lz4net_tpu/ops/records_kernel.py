@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 VFLAG = 1 << 19
-W = 12              # source-row window per dest row (see module doc)
+W = 6               # source-row window per dest row (see module doc)
 DCH = 64            # dest rows per fetch chunk (8 KB of output)
 OFF_W1 = 8          # narrow diagonal window for the offset gather
 
