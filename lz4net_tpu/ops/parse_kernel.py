@@ -127,17 +127,18 @@ def _parse_kernel(C, comp_ref, cl_ref, mark_ref, ll_ref,
     h_scr[:, :] = H
 
     # ---- P3: thread the chain across segments -----------------------
-    # carry kept as a lanes-broadcast [1, LANE] vector; entries[s] is a
+    # carry kept as a lanes-broadcast [8, LANE] vector (the [1, LANE]
+    # lane shuffle hits a Mosaic gather shape check); entries[s] is a
     # full row (uniform across lanes), -1 where the chain skips seg s
     def seg_body(s, v):
-        h_row = h_scr[pl.ds(s, 1), :]
+        h8 = jnp.broadcast_to(h_scr[pl.ds(s, 1), :], (8, LANE))
         lo = s * LANE
         in_seg = (v >= lo) & (v < lo + LANE)
-        nxt = _take_lane(h_row, v)
-        e_scr[pl.ds(s, 1), :] = jnp.where(in_seg, v, jnp.int32(-1))
+        nxt = _take_lane(h8, v)
+        e_scr[pl.ds(s, 1), :] = jnp.where(in_seg, v, jnp.int32(-1))[:1]
         return jnp.where(in_seg, nxt, v)
 
-    v0 = jnp.zeros((1, LANE), jnp.int32)
+    v0 = jnp.zeros((8, LANE), jnp.int32)
     jax.lax.fori_loop(0, Cr, seg_body, v0)
 
     # ---- P4: mark all chain positions, segments in parallel ---------
