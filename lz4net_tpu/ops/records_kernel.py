@@ -231,15 +231,23 @@ def _records_kernel(C, Dt, P, statics, *refs):
 
     # map_hi[d] = last source row whose first key <= key(last byte of d).
     # first_key is a [Cr, 1] column; move it into lanes with an identity
-    # matmul (Mosaic has no dynamic_update_slice / cheap 2-D transpose):
-    # fk[0, r] = sum_i first_key[i, 0] * Id[i, r], exact in f32.
+    # matmul (Mosaic has no dynamic_update_slice / cheap 2-D transpose).
+    # The transpose MUST be plane-decomposed: keys reach 2^18 and an
+    # f32 x f32 MXU matmul at default precision rounds through bf16
+    # (8-bit significand), silently landing map_lo on the wrong row on
+    # real silicon while interpret mode stays exact (the round-2 decode
+    # corruption).  8-bit planes through bf16 are exact.
     ident = (jax.lax.broadcasted_iota(jnp.int32, (Cr, CrP), 0)
              == jax.lax.broadcasted_iota(
-                 jnp.int32, (Cr, CrP), 1)).astype(jnp.float32)
-    fk = jax.lax.dot_general(
-        first_key.astype(jnp.float32), ident,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)  # [1, CrP]
+                 jnp.int32, (Cr, CrP), 1)).astype(jnp.bfloat16)
+    fk = jnp.zeros((1, CrP), jnp.int32)
+    for p in range(3):
+        fplane = ((first_key >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+        r = jax.lax.dot_general(
+            fplane, ident,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        fk = fk | (r << (8 * p))                               # [1, CrP]
     fk = jnp.where(jax.lax.broadcasted_iota(
         jnp.int32, (1, CrP), 1) < Cr, fk, jnp.int32(1 << 30))
     # Anchor on the dest row's FIRST byte: map_lo[d] is then the last

@@ -7,10 +7,13 @@ VMEM:
 
 * per 8 KB chunk: in-chunk match nesting collapses by pointer doubling
   over the chunk-local ordinal table (one-hot matmul gathers, 64-row
-  tables, 2 planes); RLE/overlapping matches were already collapsed
-  analytically upstream, so real chains are shallow — ROUNDS doubling
-  rounds cover depth 2^ROUNDS, deeper blocks set ok=False and fall back
-  to the host oracle;
+  tables, 2 planes).  Chain positions strictly decrease (a match source
+  always precedes its destination), so depth is bounded by the chunk
+  size and MAX_ROUNDS=13 doublings (2^13 = 8192) ALWAYS converge; the
+  doubling loop exits early on convergence (typical real-data depth is
+  < 2^6, silesia-like text regularly exceeds the 32 levels that round
+  2's fixed 5-round variant covered — that cap made 14/16 bench blocks
+  fall back to the host);
 * terminal states resolve in-place (literal values travel in the state
   word); cross-chunk references read already-resolved bytes from the
   output ref, which lives in VMEM for the kernel's whole lifetime.
@@ -37,7 +40,7 @@ LANE = 128
 CH = 8192            # chunk (output positions); must match decode_vector
 CR = CH // LANE      # 64 rows per chunk
 VFLAG = 1 << 19
-ROUNDS = 5           # 2^5 = 32-deep nesting before host fallback
+MAX_ROUNDS = 13      # 2^13 = chunk size: doubling always converges
 
 
 def _cdiv(a, b):
@@ -102,10 +105,21 @@ def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
         lo = j * CH
         pend = (t0 < VFLAG) & (t0 >= lo)
         n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
-        for _ in range(ROUNDS):
-            n = _gather_tbl(n, n, 2)
-        n1 = _gather_tbl(n, n, 2)
-        deep = jnp.any(n1 != n)
+
+        # pointer doubling to convergence: local ordinals strictly
+        # decrease along a chain, so MAX_ROUNDS doublings are always
+        # enough; typical chunks converge in far fewer rounds
+        def d_cond(st):
+            n, n2, r = st
+            return jnp.any(n2 != n) & (r < MAX_ROUNDS)
+
+        def d_body(st):
+            _, n, r = st
+            return n, _gather_tbl(n, n, 2), r + 1
+
+        _, n, _ = jax.lax.while_loop(
+            d_cond, d_body, (n, _gather_tbl(n, n, 2), jnp.int32(1)))
+
         t = _gather_tbl(t0, n, 3)
         cv = _gather_tbl(out_ref[0], jnp.clip(t, 0, jnp.maximum(lo - 1, 0)),
                          1)
@@ -113,8 +127,7 @@ def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
         # dict-prefix chunks arrive pre-resolved as terminals
         res = jnp.where(j < start_chunk, t0 & 0xFF, res)
         out_ref[0, pl.ds(j * CR, CR), :] = res
-        return ok & jnp.where(j < start_chunk, 1,
-                              (~deep).astype(jnp.int32))
+        return ok
 
     ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
     # ok is a full-array SMEM block shared across grid steps (TPU
@@ -126,8 +139,9 @@ def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
 @functools.partial(jax.jit, static_argnames=("start_chunk",))
 def resolve_wavefront(t0, start_chunk: int = 0):
     """t0: [B, Dt] int32 state words (Dt % 8192 == 0).  Returns
-    (out [B, Dt] int32 bytes, ok [B] bool); ok=False flags blocks whose
-    in-chunk nesting exceeded 2^ROUNDS (host fallback)."""
+    (out [B, Dt] int32 bytes, ok [B] bool).  The doubling loop always
+    converges (MAX_ROUNDS covers the chunk size), so ok is True for
+    every block; the flag is kept for interface stability."""
     B, Dt = t0.shape
     nchunks = Dt // CH
     rows = Dt // LANE
