@@ -339,6 +339,42 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
                 (u32, u32s4, shift32(u32, 8), shift32(u32, 12),
                  shift32(u32, 16), shift32(u32, 20), shift32(u32, 24),
                  shift32(u32, 28))), True))             # 32-byte prefix
+        if "norun" not in _dbg:
+            # run-start candidates: at the first byte of a byte-run the
+            # nearest prefix occurrence lands mid-run in an EARLIER run
+            # (short LCP), and the off=1 RLE match only starts one byte
+            # later — so prefix tiers systematically lose the run's
+            # first byte to a literal.  The reference's chain walk finds
+            # the earlier run START (`lz4hc.c:394-460` searches all 256
+            # chain hops).  Analytically: candidate = previous run-start
+            # of the same byte (one sort per tier); its LCP is
+            # min(run_i, run_j) exactly when the runs differ in length
+            # and a lower bound otherwise — injected directly so the
+            # far-match extension cap cannot truncate it.
+            eq_next = jnp.concatenate(
+                [x[:, :-1] == x[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+            run_fwd = 1 + _run_lengths(eq_next)
+            prev_byte = jnp.concatenate(
+                [jnp.full((B, 1), -1, jnp.int32), x[:, :-1]], axis=1)
+            is_rs = (run_fwd >= MINMATCH) & (x != prev_byte)
+            rp, rsp = plane_split([(run_fwd, 17)])
+            for min_run in (MINMATCH, 16, 64):
+                keyr = jnp.where(is_rs & (run_fwd >= min_run), x, 300)
+                prev_rs = _prev_occurrence((keyr,))
+                ok_r = is_rs & (prev_rs >= 0) \
+                    & (i[None, :] - prev_rs <= MAX_DISTANCE)
+                run_j = plane_join(full_gather(
+                    rp, jnp.maximum(prev_rs, 0)), rsp)[0]
+                ml_r = jnp.minimum(run_fwd, run_j)
+                limit_r = data_len[:, None] - LASTLITERALS - i[None, :]
+                ml_r = jnp.minimum(ml_r, jnp.maximum(limit_r, 0))
+                ok_r = ok_r & (ml_r >= MINMATCH) \
+                    & (i[None, :] <= data_len[:, None] - MFLIMIT) \
+                    & (data_len[:, None] >= MINLENGTH)
+                better = ok_r & (ml_r > mlen_all)
+                matched = matched | better
+                off_all = jnp.where(better, i[None, :] - prev_rs, off_all)
+                mlen_all = jnp.where(better, ml_r, mlen_all)
         for prev_t, verified8 in cand_sets:
             ok_t = (prev_t >= 0) & (i[None, :] - prev_t <= MAX_DISTANCE)
             # the "first 8 bytes verified" claim must track which
@@ -365,8 +401,28 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
                 [mlen_all[:, 2:], jnp.zeros_like(mlen_all[:, :2])], axis=1)
             m2 = jnp.concatenate(
                 [matched[:, 2:], jnp.zeros_like(matched[:, :2])], axis=1)
-            defer = (m1 & (ml1 > mlen_all)) | (m2 & (ml2 > mlen_all + 1))
+            r1 = m1 & (ml1 > mlen_all)
+            r2 = m2 & (ml2 > mlen_all + 1)
+            defer = r1 | r2
+            # one-shot simultaneous deferral loses BOTH matches when the
+            # beneficiary is itself deferred (ascending-length cascades
+            # drop every intermediate match; the reference's sequential
+            # loop keeps the last one standing).  Honor a defer only if
+            # its beneficiary survives; iterate to fixpoint (alternating
+            # cascades converge geometrically).
+            for _ in range(4):
+                d1 = jnp.concatenate(
+                    [defer[:, 1:], jnp.zeros_like(defer[:, :1])], axis=1)
+                d2 = jnp.concatenate(
+                    [defer[:, 2:], jnp.zeros_like(defer[:, :2])], axis=1)
+                defer = (r1 & ~d1) | (r2 & ~d2)
             matched = matched & ~defer
+
+        # (a wider-match trim pass — emit a shortened first match when a
+        # longer one starts mid-span, `lz4hc.c:462-520` — was tried here
+        # and measured strictly worse at every margin/window setting on
+        # the ratio corpus; the coverage gain rarely repays the extra
+        # sequence header.  See git history of this file.)
 
     # E3 — greedy parse: chain-thread the "next token" graph
     nm = _next_match_at_or_after(matched, D)

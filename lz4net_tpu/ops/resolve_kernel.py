@@ -92,13 +92,60 @@ def _gather_tbl(tbl, idx, planes, sub=2048):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
+def _gather_sel(tbl, idx):
+    """Select-loop gather: out[q] = tbl[idx[q]] for tbl [R,128] int32,
+    idx [KR,128].  R passes of broadcast-row lane shuffle, native int32
+    end to end — no planes, no MXU launches, no f32 relayouts.  On this
+    v5e it measures ~7x faster than the one-hot-matmul `_gather_tbl`
+    for the resolver's table sizes (tools/resolve_exp.py): the matmul
+    path's cost is dominated by one-hot materialisation and the [K,128]
+    lane-broadcast whose take picks a single diagonal element."""
+    R = tbl.shape[0]
+    row = idx >> 7
+    lane = idx & (LANE - 1)      # Mosaic's take is mod-128 natively,
+    acc = jnp.zeros_like(idx)    # interpret mode clamps — mask for both
+    for r in range(R):
+        vals = jnp.take_along_axis(
+            jnp.broadcast_to(tbl[r:r + 1, :], lane.shape), lane, axis=-1)
+        acc = jnp.where(row == r, vals, acc)
+    return acc
+
+
+def _pack_chunk(res):
+    """[CR, LANE] byte rows -> [CR//4, LANE] packed words (4 consecutive
+    flat positions per word).  packed[k, m] = res[4k + (m>>5),
+    (4m+byte)&127] << 8*byte, summed over byte — 16 static lane
+    shuffles for the whole chunk."""
+    KR = res.shape[0] // 4
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (KR, LANE), 1)
+    word = jnp.zeros((KR, LANE), jnp.int32)
+    res_bf = res.astype(jnp.bfloat16)        # bytes are bf16-exact
+    for r in range(4):
+        # rows res[4k + r] selected by one-hot matmul (Mosaic has no
+        # strided sublane slice)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (KR, res.shape[0]), 1)
+               == 4 * jax.lax.broadcasted_iota(
+                   jnp.int32, (KR, res.shape[0]), 0) + r
+               ).astype(jnp.bfloat16)
+        grp = jax.lax.dot_general(
+            sel, res_bf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        for byte in range(4):
+            src_lane = (4 * lanes + byte) & (LANE - 1)
+            vals = jnp.take_along_axis(grp, src_lane, axis=-1)
+            word = jnp.where((lanes >> 5) == r,
+                             word | (vals << (8 * byte)), word)
+    return word
+
+
+def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref,
+                    pk_scr):
     kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
         + jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 1)
 
     # chunk loop as fori_loop (an unrolled loop makes the Mosaic program
     # ~9x larger and pushes compiles past 30 minutes); the cross-chunk
-    # value gather always spans the full output ref — indices are
+    # value gather always spans the resolved prefix — indices are
     # clipped below the chunk base, so the unwritten tail is never read
     def body(j, ok):
         t0 = t0_ref[0, pl.ds(j * CR, CR), :]
@@ -106,27 +153,40 @@ def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref):
         pend = (t0 < VFLAG) & (t0 >= lo)
         n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
 
-        # pointer doubling to convergence: local ordinals strictly
-        # decrease along a chain, so MAX_ROUNDS doublings are always
-        # enough; typical chunks converge in far fewer rounds
+        # pointer doubling: 6 fixed rounds cover p90 depth on
+        # silesia-like data (measured p50=29, max=69 per 8 KB chunk),
+        # then a 2-doubling-per-check loop runs to convergence
+        # (ordinals strictly decrease, so MAX_ROUNDS always suffices).
+        # Checking every other round halves the serializing scalar
+        # syncs; one wasted doubling worst case.
+        for _ in range(6):
+            n = _gather_sel(n, n)
+
         def d_cond(st):
             n, n2, r = st
             return jnp.any(n2 != n) & (r < MAX_ROUNDS)
 
         def d_body(st):
             _, n, r = st
-            return n, _gather_tbl(n, n, 2), r + 1
+            n1 = _gather_sel(n, n)
+            return n, _gather_sel(n1, n1), r + 2
 
         _, n, _ = jax.lax.while_loop(
-            d_cond, d_body, (n, _gather_tbl(n, n, 2), jnp.int32(1)))
+            d_cond, d_body, (n, _gather_sel(n, n), jnp.int32(7)))
 
-        t = _gather_tbl(t0, n, 3)
-        cv = _gather_tbl(out_ref[0], jnp.clip(t, 0, jnp.maximum(lo - 1, 0)),
-                         1)
+        t = _gather_sel(t0, n)
+        # cross-chunk values from the 4-bytes-per-word packed mirror:
+        # a quarter the rows -> a quarter the select passes (clipped
+        # indices never reach rows of unresolved chunks)
+        tc = jnp.clip(t, 0, jnp.maximum(lo - 1, 0))
+        w = _gather_sel(pk_scr[:, :], tc >> 2)
+        cv = (w >> (8 * (tc & 3))) & 0xFF
         res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
         # dict-prefix chunks arrive pre-resolved as terminals
         res = jnp.where(j < start_chunk, t0 & 0xFF, res)
         out_ref[0, pl.ds(j * CR, CR), :] = res
+        # pack this chunk's bytes for later chunks' cv gathers
+        pk_scr[pl.ds(j * (CR // 4), CR // 4), :] = _pack_chunk(res)
         return ok
 
     ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
@@ -157,6 +217,7 @@ def resolve_wavefront(t0, start_chunk: int = 0):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((B, 1), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((rows // 4, LANE), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
