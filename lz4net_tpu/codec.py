@@ -51,6 +51,11 @@ def encode(src: bytes, dst_maxlen: int | None = None, *,
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(len(src))
     if dictionary:
+        if mode == "fast":
+            from .models import tpu
+            if tpu.is_available():
+                return tpu.compress_blocks_fast_dict(
+                    [bytes(src)], dictionary, [dst_maxlen])[0]
         return _dict_engine().compress_block_dict(dictionary, bytes(src),
                                                   dst_maxlen)
     if mode == "fast":
@@ -78,6 +83,12 @@ def encode_hc(src: bytes, dst_maxlen: int | None = None,
     if dst_maxlen is None:
         dst_maxlen = maximum_output_length(len(src))
     if dictionary:
+        if mode == "fast":
+            from .models import tpu
+            if tpu.is_available():
+                return tpu.compress_blocks_fast_dict(
+                    [bytes(src)], dictionary, [dst_maxlen],
+                    level=max(level, 1))[0]
         from .constants import MAX_NB_ATTEMPTS, hc_level_attempts
         attempts = MAX_NB_ATTEMPTS if level >= 9 else hc_level_attempts(level)
         return _dict_engine().compress_block_hc_dict(

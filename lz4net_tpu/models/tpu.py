@@ -92,6 +92,17 @@ def compress_blocks_fast(blocks, dst_maxlens=None):
     return VectorEncoder().encode_batch(list(blocks), dst_maxlens)
 
 
+def compress_blocks_fast_dict(blocks, dictionary, dst_maxlens=None,
+                              level: int = 0):
+    """Batched fast-mode encode against a PRESET DICTIONARY window
+    (`ops.encode_vector` P mode): format-valid, round-trips through
+    every engine's dictionary decoder."""
+    from ..ops.encode_vector import VectorEncoder
+    return VectorEncoder().encode_batch(list(blocks), dst_maxlens,
+                                        hc_level=level,
+                                        dictionary=dictionary)
+
+
 def compress_block_hc(src: bytes, dst_maxlen: int | None = None,
                       level: int = 9) -> bytes:
     """Strict (parse-identical) HC stays on the CPU oracle; the device

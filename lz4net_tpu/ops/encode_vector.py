@@ -74,7 +74,8 @@ EXT_ROUNDS = 10           # compacted far-match extension rounds
 MAX_FAR_MLEN = MINMATCH + 4 + 4 * EXT_ROUNDS   # 48-byte cap before merge
 TOP_OFFSETS = 8           # dominant offsets given exact unbounded lengths
 BIASE = 1 << 17           # literal-source delta bias (O, D < 2^17)
-BIASJ_E = 1 << 18         # jump bias (|jump| < 2^18)
+BIASJ_E = 1 << 19         # jump bias: literal-source deltas span
+                          # +-(P + D + O) < 2^19 with a dictionary prefix
 
 
 def _u32(x):
@@ -168,12 +169,15 @@ def _xor_match_bytes_rev(wa, wb):
                             jnp.where(diff != 0, 3, 4))))
 
 
-def _match_lengths(x, u32, prev, m8, data_len, D, rcap,
+def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
                    top_offsets=TOP_OFFSETS, sub_step=16):
     """(matched, offset, mlen) for every position; far matches capped at
     MAX_FAR_MLEN (the merge pass recovers longer ones).  ``m8`` marks
     positions whose candidate came from the 8-byte-prefix sort (first 8
-    bytes already verified equal)."""
+    bytes already verified equal).  ``end_abs`` is the absolute end of
+    the block's bytes in the row (prefix + block length when a preset
+    dictionary occupies the row's head); ``blk_len`` the block's own
+    length (the <13-byte incompressibility rule counts only it)."""
     B = x.shape[0]
     i = jnp.arange(D, dtype=jnp.int32)
     off = i[None, :] - prev
@@ -242,11 +246,11 @@ def _match_lengths(x, u32, prev, m8, data_len, D, rcap,
     # format end rules: a match may not cover the last 5 bytes and must
     # start >= 12 bytes before the end; short blocks are all literals
     # (`lz4_format_description.txt:93-104`)
-    limit = data_len[:, None] - LASTLITERALS - i[None, :]
+    limit = end_abs[:, None] - LASTLITERALS - i[None, :]
     mlen = jnp.minimum(mlen, jnp.maximum(limit, 0))
     matched = matched & (mlen >= MINMATCH) \
-        & (i[None, :] <= data_len[:, None] - MFLIMIT) \
-        & (data_len[:, None] >= MINLENGTH)
+        & (i[None, :] <= end_abs[:, None] - MFLIMIT) \
+        & (blk_len[:, None] >= MINLENGTH)
     return matched, jnp.where(matched, off, 0), jnp.where(matched, mlen, 0)
 
 
@@ -259,9 +263,9 @@ def _next_match_at_or_after(matched, D):
 
 
 @functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap",
-                                              "hc_level"))
+                                              "hc_level", "P"))
 def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
-                            hc_level=0):
+                            hc_level=0, P=0, pre_len=None):
     """Greedy-encode a batch of independent blocks.
 
     x: [B, D] int32 bytes (zero padded), data_len: [B] int32.
@@ -269,6 +273,16 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     (>= maximum_output_length(D)); S_cap the record cap (a cap of
     D // MINMATCH + margin can never overflow).
     Returns (out [B, O] int32 bytes, out_len [B] int32, ok [B] bool).
+
+    ``P`` > 0 enables PRESET-DICTIONARY encode: x[:, :P] holds the
+    (right-aligned) dictionary window, the block's own bytes start at
+    column P, and ``data_len`` counts only the block's bytes.  Match
+    candidates may reach back into the window (the reference-extension
+    dictionary mode of `models/reference.py::compress_block_dict`) —
+    the candidate sorts already span the whole row, so the only deltas
+    are masking token starts to i >= P and anchoring the first literal
+    run at P.  Output offsets stay format-legal because positions are
+    contiguous across the window/data seam.
 
     ``hc_level`` > 0 enables the high-compression search (the device
     analogue of the reference's chain-based LZ4HC,
@@ -286,6 +300,9 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     i = jnp.arange(D, dtype=jnp.int32)
     o = jnp.arange(O, dtype=jnp.int32)
     k = jnp.arange(S_cap, dtype=jnp.int32)
+    end_abs = P + data_len
+    pre_len_arr = (jnp.full((B,), P, jnp.int32) if pre_len is None
+                   else pre_len)
 
     # E1/E2 — candidates + lengths.  Candidate tiers: the nearest
     # 2^k-byte-prefix occurrence (guaranteed LCP >= 2^k) beats nearer
@@ -298,7 +315,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
     prev = jnp.where(m8, prev8, prev4)
     matched, off_all, mlen_all = _match_lengths(
-        x, u32, prev, m8, data_len, D, rcap)
+        x, u32, prev, m8, end_abs, data_len, D, rcap)
 
     import os
     _dbg = os.environ.get("LZ4NET_HC_DEBUG", "")
@@ -366,10 +383,10 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
                 run_j = plane_join(full_gather(
                     rp, jnp.maximum(prev_rs, 0)), rsp)[0]
                 ml_r = jnp.minimum(run_fwd, run_j)
-                limit_r = data_len[:, None] - LASTLITERALS - i[None, :]
+                limit_r = end_abs[:, None] - LASTLITERALS - i[None, :]
                 ml_r = jnp.minimum(ml_r, jnp.maximum(limit_r, 0))
                 ok_r = ok_r & (ml_r >= MINMATCH) \
-                    & (i[None, :] <= data_len[:, None] - MFLIMIT) \
+                    & (i[None, :] <= end_abs[:, None] - MFLIMIT) \
                     & (data_len[:, None] >= MINLENGTH)
                 better = ok_r & (ml_r > mlen_all)
                 matched = matched | better
@@ -382,7 +399,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
             claim = (ok_t & verified8) | (~ok_t & m8)
             m_t, off_t, ml_t = _match_lengths(
                 x, u32, jnp.where(ok_t, prev_t, prev),
-                claim, data_len, D, rcap,
+                claim, end_abs, data_len, D, rcap,
                 top_offsets=24, sub_step=8)
             better = m_t & ok_t & (ml_t > mlen_all)
             matched = matched | better
@@ -424,6 +441,13 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
         # the ratio corpus; the coverage gain rarely repays the extra
         # sequence header.  See git history of this file.)
 
+    if P:
+        # dictionary mode: tokens start in the block only, and matches
+        # may not reach before the true window start (the decoder's
+        # ref_floor check, `decode_vector.py` pre/pre_len mode)
+        matched = matched & (i[None, :] >= P) \
+            & (off_all <= i[None, :] - (P - pre_len_arr[:, None]))
+
     # E3 — greedy parse: chain-thread the "next token" graph
     nm = _next_match_at_or_after(matched, D)
     step = jnp.where(matched, mlen_all, 1)
@@ -452,7 +476,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     mlen_s = jnp.where(valid, mlen_s, 0)
 
     prev_end = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), (tok_c + mlen_s)[:, :-1]], axis=1)
+        [jnp.full((B, 1), P, jnp.int32), (tok_c + mlen_s)[:, :-1]], axis=1)
     lit_start = jnp.where(valid, prev_end, 0)
     lit_len = jnp.where(valid, tok_c - lit_start, 0)
 
@@ -508,12 +532,13 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     mlen_m = jnp.where(valid_m, mlen_m, 0)
 
     # final literal-only record at index n_m (LASTLITERALS tail)
-    tail_start = jnp.max(
-        jnp.where(valid_m, lit_start_m + lit_len_m + mlen_m, 0), axis=1)
+    tail_start = jnp.maximum(jnp.max(
+        jnp.where(valid_m, lit_start_m + lit_len_m + mlen_m, 0), axis=1),
+        P)
     is_final = k[None, :] == n_m[:, None]
     lit_start_m = jnp.where(is_final, tail_start[:, None], lit_start_m)
     lit_len_m = jnp.where(
-        is_final, data_len[:, None] - tail_start[:, None], lit_len_m)
+        is_final, end_abs[:, None] - tail_start[:, None], lit_len_m)
     off_m = jnp.where(is_final, 0, off_m)
     mlen_m = jnp.where(is_final, 0, mlen_m)
     live = valid_m | is_final
@@ -596,9 +621,14 @@ class VectorEncoder:
 
     MAX_BLOCK = 96 * 1024
 
-    def encode_batch(self, blocks, dst_maxlens=None, hc_level=0):
+    def encode_batch(self, blocks, dst_maxlens=None, hc_level=0,
+                     dictionary=None):
         """``hc_level`` 0 = fast greedy; 1-9 = fast-HC (deeper candidate
-        tiers, lazy parse from level 4 — see encode_batch_vectorized)."""
+        tiers, lazy parse from level 4 — see encode_batch_vectorized).
+        ``dictionary`` enables preset-dictionary matching: the window's
+        last 64 KB is laid out as a right-aligned row prefix and match
+        candidates reach into it (`encode_batch_vectorized`` P mode)."""
+        from ..constants import MAX_DISTANCE
         n = len(blocks)
         if n == 0:
             return []
@@ -608,17 +638,28 @@ class VectorEncoder:
         device = [b for b in range(n)
                   if 0 < len(blocks[b]) <= self.MAX_BLOCK]
         if device:
+            P = 0
+            window = b""
+            if dictionary:
+                window = bytes(dictionary)[-(MAX_DISTANCE + 1):]
+                P = _cdiv(max(len(window), 1), CH) * CH
             max_d = max(len(blocks[b]) for b in device)
-            D = _cdiv(max_d + 1, CH) * CH
-            O = _cdiv(maximum_output_length(D) + 1, CH) * CH
+            D = P + _cdiv(max_d + 1, CH) * CH
+            O = _cdiv(maximum_output_length(D - P) + 1, CH) * CH
             S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
             x = np.zeros((len(device), D), np.int32)
             for j, b in enumerate(device):
-                x[j, :len(blocks[b])] = np.frombuffer(blocks[b], np.uint8)
+                if P:
+                    x[j, P - len(window):P] = np.frombuffer(window,
+                                                            np.uint8)
+                x[j, P:P + len(blocks[b])] = np.frombuffer(
+                    blocks[b], np.uint8)
             dl = np.array([len(blocks[b]) for b in device], np.int32)
+            pre_len = (jnp.asarray(np.full(len(device), len(window),
+                                           np.int32)) if P else None)
             out, out_len, ok = encode_batch_vectorized(
                 jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
-                hc_level=min(max(hc_level, 0), 9))
+                hc_level=min(max(hc_level, 0), 9), P=P, pre_len=pre_len)
             out = np.asarray(out)
             out_len, ok = np.asarray(out_len), np.asarray(ok)
             for j, b in enumerate(device):
@@ -630,14 +671,19 @@ class VectorEncoder:
         for b in range(n):
             if results[b] is None:
                 results[b] = self._host_encode(blocks[b], dst_maxlens[b],
-                                               hc_level)
+                                               hc_level, dictionary)
         return results
 
     @staticmethod
-    def _host_encode(block, dst_maxlen, hc_level=0):
+    def _host_encode(block, dst_maxlen, hc_level=0, dictionary=None):
         from ..models import native
         from ..models import reference
         eng = native if native.is_available() else reference
+        if dictionary:
+            if hc_level > 0:
+                return eng.compress_block_hc_dict(dictionary, block,
+                                                  dst_maxlen)
+            return eng.compress_block_dict(dictionary, block, dst_maxlen)
         if hc_level > 0:
             return eng.compress_block_hc(block, dst_maxlen)
         return eng.compress_block(block, dst_maxlen)

@@ -149,3 +149,106 @@ def distributed_decode(blocks: list[bytes], out_lens: list[int],
     out, status, _total = step(comp_d, lens_d)
     padded_lens = list(out_lens) + [0] * ((-len(blocks)) % n_dev)
     return unpack_blocks(out, status, padded_lens, n_real)
+
+
+def make_distributed_vector_decode_dict(mesh, n_blocks: int, C: int,
+                                        D: int, S_cap: int, P_pre: int):
+    """Mesh-sharded vector decode with a PRESET DICTIONARY broadcast.
+
+    Blocks shard over the ``blocks`` axis; the dictionary window
+    (``pre`` [P_pre] bytes, ``pre_len`` scalar) is REPLICATED — the
+    in_spec `P()` makes XLA broadcast it once over ICI to every device
+    (SURVEY.md §2.10's ICI-broadcast row).  Each shard decodes its local
+    blocks against the shared window with the vectorised pipeline
+    (`decode_vector.decode_batch_vectorized` pre/pre_len mode).
+
+    Returns fn(comp [B, C] i32, comp_len [B], out_len [B],
+    pre [P_pre] i32, pre_len scalar i32) ->
+    (out [B, D] i32, ok [B] bool, total [B] i32, certified scalar).
+    """
+    from ..ops.decode_vector import decode_batch_vectorized
+
+    n_dev = mesh.devices.size
+    if n_blocks % n_dev != 0:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide evenly over "
+                         f"{n_dev} devices; pad the batch")
+    local = n_blocks // n_dev
+    E_cap = 2 * S_cap
+
+    def shard_fn(comp, cl, ol, pre, pre_len):
+        pre_b = jnp.broadcast_to(pre[None, :], (local, P_pre))
+        pl_b = jnp.broadcast_to(pre_len[None], (local,))
+        out, total, ok, strict, _consumed, needed = \
+            decode_batch_vectorized(
+                comp, cl, ol, C, D, S_cap, E_cap, 8192,
+                pre=pre_b, pre_len=pl_b)
+        # full strict certification, same contract as
+        # VectorDecoder._device_pass
+        ok = ok & strict & (needed == total) & (total == ol)
+        certified = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)),
+                                 BLOCK_AXIS)
+        return out, ok, total, certified
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
+                  P(), P()),                       # dict replicated
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def distributed_decode_dict(blocks: list[bytes], out_lens: list[int],
+                            dictionary: bytes, mesh=None) -> list[bytes]:
+    """Decode dictionary-compressed blocks sharded over the mesh, the
+    dictionary broadcast once (replicated sharding -> ICI).  Blocks the
+    device pipeline cannot certify fall back to the host oracle, same
+    contract as `VectorDecoder.decode_batch`."""
+    from ..ops.decode_vector import (CH, BCH, LANE,
+                                     MAX_DISTANCE_WINDOW, VectorDecoder,
+                                     _cdiv)
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n = len(blocks)
+    n_pad = (-n) % n_dev
+    all_blocks = list(blocks) + [b"\x00"] * n_pad
+    all_lens = list(out_lens) + [1] * n_pad
+
+    window = bytes(dictionary)[-MAX_DISTANCE_WINDOW:]
+    P_pre = _cdiv(max(len(window), 1), CH) * CH
+    prow = np.zeros(P_pre, np.int32)
+    prow[P_pre - len(window):] = np.frombuffer(window, np.uint8)
+
+    max_c = max(max(len(b) for b in all_blocks), 16)
+    max_d = max(max(all_lens), 1)
+    C = _cdiv(max_c + 1, BCH) * BCH
+    D = _cdiv(max_d + 1, CH) * CH
+    S_cap = _cdiv(C // 3 + 2, LANE) * LANE
+    comp = np.zeros((len(all_blocks), C), np.int32)
+    for i, b in enumerate(all_blocks):
+        comp[i, :len(b)] = np.frombuffer(b, np.uint8)
+    cl = np.array([len(b) for b in all_blocks], np.int32)
+    ol = np.array(all_lens, np.int32)
+
+    step = make_distributed_vector_decode_dict(
+        mesh, len(all_blocks), C, D, S_cap, P_pre)
+    sharding = block_sharding(mesh)
+    out, ok, total, _cert = step(
+        jax.device_put(comp, sharding), jax.device_put(cl, sharding),
+        jax.device_put(ol, sharding),
+        jax.device_put(jnp.asarray(prow),
+                       jax.sharding.NamedSharding(mesh, P())),
+        jax.device_put(jnp.asarray(np.int32(len(window))),
+                       jax.sharding.NamedSharding(mesh, P())))
+    out, ok, total = np.asarray(out), np.asarray(ok), np.asarray(total)
+    results = []
+    for i in range(n):
+        if bool(ok[i]) and int(total[i]) == out_lens[i]:
+            results.append(out[i, :out_lens[i]].astype(np.uint8).tobytes())
+        else:
+            results.append(VectorDecoder._host_decode(
+                blocks[i], out_lens[i], dictionary))
+    return results

@@ -77,3 +77,37 @@ def test_hc_dict_beats_fast_dict():
     fast = lz4.encode(data, dictionary=DICT)
     hc = lz4.encode_hc(data, dictionary=DICT)
     assert len(hc) <= len(fast)
+
+
+def test_device_dict_encode_round_trips():
+    """Vectorised device encoder with a preset-dictionary prefix window
+    (`encode_batch_vectorized` P mode): every engine's dict decoder must
+    round-trip its output, at both fast and fast-HC levels."""
+    from lz4net_tpu.models import native as N
+    from lz4net_tpu.ops.encode_vector import VectorEncoder
+    from lz4net_tpu.utils import corpus
+    dictionary = corpus.silesia_like(5000, seed=31)
+    bodies = corpus.split_blocks(corpus.silesia_like(2 * 4000, seed=32),
+                                 4000)
+    enc = VectorEncoder()
+    for lvl in (0, 9):
+        packed = enc.encode_batch(bodies, hc_level=lvl,
+                                  dictionary=dictionary)
+        for p, b in zip(packed, bodies):
+            assert R.decompress_block_dict(p, dictionary, len(b)) == b
+            if N.is_available():
+                assert N.decompress_block_dict(p, dictionary,
+                                               len(b)) == b
+
+
+def test_device_dict_encode_improves_ratio():
+    """The prefix window must actually buy ratio on dictionary-friendly
+    data (matches reach into the window)."""
+    from lz4net_tpu.ops.encode_vector import VectorEncoder
+    from lz4net_tpu.utils import corpus
+    dictionary = corpus.silesia_like(6000, seed=33)
+    bodies = [bytes(dictionary[100:2100])]        # fully inside the dict
+    enc = VectorEncoder()
+    with_d = enc.encode_batch(bodies, hc_level=9, dictionary=dictionary)
+    without = enc.encode_batch(bodies, hc_level=9)
+    assert len(with_d[0]) < len(without[0])

@@ -58,6 +58,22 @@ def test_psum_total_matches(mesh):
     assert b"".join(results) == data
 
 
+def test_distributed_decode_dict_broadcast(mesh):
+    """Dictionary decode over the mesh: the dict window is replicated
+    (ICI broadcast), blocks shard; every block must round-trip exactly
+    (SURVEY.md §2.10 ICI-broadcast row)."""
+    from lz4net_tpu.parallel.pipeline import distributed_decode_dict
+    dictionary = corpus.silesia_like(6000, seed=11)
+    rng_data = corpus.silesia_like(8 * 3000, seed=12)
+    bodies = corpus.split_blocks(rng_data, 3000)
+    packed = [N.compress_block_dict(dictionary, b, 2 * len(b) + 64)
+              for b in bodies]
+    out = distributed_decode_dict(packed, [len(b) for b in bodies],
+                                  dictionary, mesh)
+    for got, want in zip(out, bodies):
+        assert got == want
+
+
 def test_corpus_determinism_and_ratio():
     a = corpus.silesia_like(1 << 20, seed=42)
     b = corpus.silesia_like(1 << 20, seed=42)
