@@ -220,7 +220,7 @@ def _bench_encode(blocks, hc_level):
 
     def one_pass():
         for s in range(n_sub):
-            out, out_len, ok = encode_batch_vectorized(
+            out, out_len, ok, _aux = encode_batch_vectorized(
                 xd[s], dld[s], D, O, S_cap, hc_level=hc_level)
         return out_len, ok
 
@@ -378,11 +378,17 @@ def main():
             continue
         env = dict(os.environ)
         if impl == "scaling":
-            # virtual 8-device CPU mesh (one real chip is available)
+            # virtual 8-device CPU mesh (one real chip is available).
+            # The axon sitecustomize (remote-TPU plugin) initialises a
+            # backend at interpreter start and the forced-host device
+            # count is then ignored — drop it from PYTHONPATH here.
             env.update(JAX_PLATFORMS="cpu",
                        XLA_FLAGS=(env.get("XLA_FLAGS", "")
                                   + " --xla_force_host_platform_device"
-                                    "_count=8"))
+                                    "_count=8"),
+                       PYTHONPATH=os.pathsep.join(
+                           p for p in env.get("PYTHONPATH", "").split(
+                               os.pathsep) if ".axon_site" not in p))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), f"--impl={impl}"],

@@ -25,13 +25,12 @@ def _cmd_compress(args) -> int:
     from . import LZ4Stream, LZ4StreamFlags, LZ4StreamMode
 
     if args.block is None:
-        # device-friendly chunking: 64 KB chunks decode on the TPU
-        # kernels; the 1 MB reference default would fall back to the
-        # host on every chunk (constants.DEVICE_BLOCK_SIZE)
-        from .constants import DEFAULT_BLOCK_SIZE, DEVICE_BLOCK_SIZE
-        from .models import tpu
-        block = (DEVICE_BLOCK_SIZE if tpu.is_available()
-                 else DEFAULT_BLOCK_SIZE)
+        # the reference's 1 MB default chunk (`LZ4Stream.cs:119`);
+        # blocks beyond the 96 KB kernel cap decode on device as
+        # prefix-window fragments (ops/bigblock.py), so the default no
+        # longer needs to shrink for the TPU engine
+        from .constants import DEFAULT_BLOCK_SIZE
+        block = DEFAULT_BLOCK_SIZE
     else:
         block = args.block * 1024
     flags = LZ4StreamFlags.DEFAULT

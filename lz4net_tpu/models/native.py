@@ -73,6 +73,19 @@ def _load():
         lib.lz4tpu_decompress_dict.restype = ctypes.c_int
         lib.lz4tpu_decompress_dict.argtypes = [c_ubp, ctypes.c_int, out_p,
                                                ctypes.c_int, ctypes.c_int]
+        lib.lz4tpu_segment_index.restype = ctypes.c_int
+        lib.lz4tpu_segment_index.argtypes = [c_ubp, ctypes.c_int,
+                                             ctypes.c_int, _i32p, _i32p,
+                                             ctypes.c_int]
+        lib.lz4tpu_decompress_fragment.restype = ctypes.c_int
+        lib.lz4tpu_decompress_fragment.argtypes = [c_ubp, ctypes.c_int,
+                                                   out_p, ctypes.c_int,
+                                                   ctypes.c_int]
+        lib.lz4tpu_giant_seqs.restype = ctypes.c_int
+        lib.lz4tpu_giant_seqs.argtypes = [c_ubp, ctypes.c_int,
+                                          ctypes.c_int, _i32p, _i32p,
+                                          _i32p, _i32p, _i32p, _i32p,
+                                          ctypes.c_int]
         lib.lz4tpu_compress_batch.restype = None
         lib.lz4tpu_compress_batch.argtypes = [
             c_ubp, _i64p, _i32p, out_p, _i64p, ctypes.c_int32, _i32p,
@@ -230,6 +243,66 @@ def decompress_block_dict(src: bytes, dictionary: bytes,
 
 
 # --- batched (multithreaded) paths -----------------------------------------
+
+def segment_index(block: bytes, out_target: int):
+    """Sequence-boundary segmentation of one compressed block: returns
+    (comp_offsets, out_offsets) numpy arrays (first entry (0, 0)), or
+    None for malformed input / a sequence spanning > out_target output
+    bytes.  Segment k covers comp[comp_offs[k]:comp_offs[k+1]] producing
+    out[out_offs[k]:out_offs[k+1]]; each segment's output is < 2 *
+    out_target (a boundary is placed at the first sequence at or past
+    each target mark).  C scan, headers only (lz4tpu_segment_index)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    max_segs = max(2, len(block) // 16 + 2)
+    comp_offs = np.zeros(max_segs, np.int32)
+    out_offs = np.zeros(max_segs, np.int32)
+    n = lib.lz4tpu_segment_index(block, len(block), out_target,
+                                 comp_offs, out_offs, max_segs)
+    if n < 1:
+        return None
+    return comp_offs[:n], out_offs[:n]
+
+
+def decompress_fragment(src: bytes, window: bytes, out_len: int) -> bytes:
+    """Decode a mid-block fragment (ops/bigblock.py) against a window
+    prefix, without the block-END restrictions (lenient tail)."""
+    from .reference import CorruptedBlockError
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    src, window = bytes(src), bytes(window)
+    if out_len == 0:
+        return b""
+    dict_len = len(window)
+    buf, ptr = _out_buffer(dict_len + out_len)
+    buf[:dict_len] = window
+    n = lib.lz4tpu_decompress_fragment(src, len(src), ptr, dict_len,
+                                       out_len)
+    if n != out_len:
+        raise CorruptedBlockError(f"fragment decode: {n} != {out_len}")
+    del ptr
+    return bytes(memoryview(buf)[dict_len:dict_len + out_len])
+
+
+def giant_seqs(block: bytes, out_target: int):
+    """Sequences whose output span exceeds ``out_target``: list of
+    (comp_off, out_off, lit_len, lit_src, match_off, match_len), or
+    None on malformed input (lz4tpu_giant_seqs)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    max_g = max(2, len(block) // max(out_target, 1) + 8)
+    arrs = [np.zeros(max_g, np.int32) for _ in range(6)]
+    n = lib.lz4tpu_giant_seqs(block, len(block), out_target,
+                              *arrs, max_g)
+    if n < 0:
+        return None
+    return [tuple(int(a[i]) for a in arrs) for i in range(n)]
+
 
 def compress_blocks(src: bytes, offsets, lengths, *, hc_attempts: int = 0,
                     n_threads: int = 0) -> tuple[bytes, np.ndarray]:

@@ -843,6 +843,60 @@ int decompress_dict_core(const uint8_t* src, int src_len, uint8_t* dst,
     return sp;
 }
 
+// Fragment decode: a mid-block segment produced by the host fragmenter
+// (ops/bigblock.py) — sequences are complete and a 0x00 terminator may
+// follow, but the block-level END restrictions (final literal run,
+// matches clear of the last 5 bytes, `lz4_format_description.txt:93`)
+// do NOT apply: those exist so the reference's decoder can skip bounds
+// checks at the tail, and fragments are decoded fully bounds-checked.
+// dst holds dict_len window bytes first; returns bytes written or <0.
+int decompress_fragment_core(const uint8_t* src, int src_len, uint8_t* dst,
+                             int dict_len, int out_len) {
+    int sp = 0;
+    int dp = dict_len;
+    const int dst_end = dict_len + out_len;
+
+    while (sp < src_len) {
+        uint32_t token = src[sp++];
+
+        int length = (int)(token >> ML_BITS);
+        if (length == RUN_MASK) {
+            int b;
+            do {
+                if (sp >= src_len) return -sp;
+                b = src[sp++];
+                length += b;
+            } while (b == 255);
+        }
+        if (sp + length > src_len || dp + length > dst_end) return -sp;
+        std::memcpy(dst + dp, src + sp, (size_t)length);
+        sp += length;
+        dp += length;
+        if (sp == src_len) break;       // final literal run (may be empty)
+
+        if (sp + 2 > src_len) return -sp;
+        int offset = src[sp] | (src[sp + 1] << 8);
+        sp += 2;
+        int ref = dp - offset;
+        if (ref < 0 || offset == 0) return -sp;
+
+        int mlen = (int)(token & ML_MASK);
+        if (mlen == ML_MASK) {
+            int b;
+            do {
+                if (sp >= src_len) return -sp;
+                b = src[sp++];
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += MINMATCH;
+        if (dp + mlen > dst_end) return -sp;
+        secure_copy(dst, dp, ref, mlen);
+        dp += mlen;
+    }
+    return dp - dict_len;
+}
+
 }  // namespace
 
 // --- C ABI -----------------------------------------------------------------
@@ -901,6 +955,116 @@ int lz4tpu_decompress_dict(const uint8_t* src, int src_len, uint8_t* dst,
     if (out_len == 0) return 0;
     if (dict_len <= 0) return lz4tpu_decompress(src, src_len, dst, out_len);
     return decompress_dict_core(src, src_len, dst, dict_len, out_len);
+}
+
+int lz4tpu_decompress_fragment(const uint8_t* src, int src_len,
+                               uint8_t* dst, int dict_len, int out_len) {
+    if (out_len == 0) return 0;
+    return decompress_fragment_core(src, src_len, dst, dict_len, out_len);
+}
+
+// Sequence-boundary segmentation: walk the compressed stream's sequence
+// HEADERS only (literal payloads are skipped by length, never read) and
+// record (comp_offset, out_offset) at the first sequence whose output
+// start reaches each ~out_target boundary.  This lets the TPU engine
+// decode blocks of any size (the block API takes up to ~1.9 GB,
+// /root/reference/original/lz4.h:70) as a wave of <=96 KB segments whose
+// matches reach into the previous segment via the decoder's preset-
+// dictionary prefix window.  Returns the number of segments (the first
+// entry is always (0, 0)), or -1 on malformed input / overflow of
+// max_segs / a single sequence spanning more than out_target output
+// bytes (such blocks take the host path).
+int lz4tpu_segment_index(const uint8_t* src, int src_len, int out_target,
+                         int32_t* comp_offs, int32_t* out_offs,
+                         int max_segs) {
+    if (src_len <= 0 || out_target <= 0 || max_segs < 1) return -1;
+    int n = 0;
+    int64_t p = 0, o = 0;
+    int64_t next_mark = 0;
+    while (p < src_len) {
+        if (o >= next_mark) {
+            if (n >= max_segs) return -1;
+            comp_offs[n] = (int32_t)p;
+            out_offs[n] = (int32_t)o;
+            n++;
+            next_mark = o + out_target;
+        }
+        int64_t seq_out = 0;
+        int token = src[p++];
+        int64_t ll = token >> 4;
+        if (ll == 15) {
+            while (p < src_len && src[p] == 255) { ll += 255; p++; }
+            if (p >= src_len) return -1;
+            ll += src[p++];
+        }
+        p += ll;
+        seq_out += ll;
+        if (p > src_len) return -1;
+        if (p >= src_len) { o += seq_out; break; }   // final literal run
+        p += 2;                                      // match offset
+        int64_t ml = token & 15;
+        if (ml == 15) {
+            while (p < src_len && src[p] == 255) { ml += 255; p++; }
+            if (p >= src_len) return -1;
+            ml += src[p++];
+        }
+        ml += 4;
+        seq_out += ml;
+        o += seq_out;
+    }
+    if (p != src_len) return -1;
+    return n;
+}
+
+// Companion scan listing GIANT sequences (out span > out_target): the
+// host fragmenter splits these into synthetic pure-literal / pure-match
+// pieces so every device segment stays under the kernel budget.  For
+// each giant: comp offset, out offset, literal length, literal-bytes
+// start (comp), match offset, match length.  Returns count or -1.
+int lz4tpu_giant_seqs(const uint8_t* src, int src_len, int out_target,
+                      int32_t* g_comp, int32_t* g_out, int32_t* g_lit,
+                      int32_t* g_lsrc, int32_t* g_off, int32_t* g_ml,
+                      int max_g) {
+    if (src_len <= 0 || out_target <= 0) return -1;
+    int n = 0;
+    int64_t p = 0, o = 0;
+    while (p < src_len) {
+        int64_t seq_comp = p;
+        int token = src[p++];
+        int64_t ll = token >> 4;
+        if (ll == 15) {
+            while (p < src_len && src[p] == 255) { ll += 255; p++; }
+            if (p >= src_len) return -1;
+            ll += src[p++];
+        }
+        int64_t lsrc = p;
+        p += ll;
+        if (p > src_len) return -1;
+        int64_t off = 0, ml = 0;
+        if (p < src_len) {
+            off = src[p] | ((int64_t)src[p + 1] << 8);
+            p += 2;
+            ml = token & 15;
+            if (ml == 15) {
+                while (p < src_len && src[p] == 255) { ml += 255; p++; }
+                if (p >= src_len) return -1;
+                ml += src[p++];
+            }
+            ml += 4;
+        }
+        if (ll + ml > out_target) {
+            if (n >= max_g) return -1;
+            g_comp[n] = (int32_t)seq_comp;
+            g_out[n] = (int32_t)o;
+            g_lit[n] = (int32_t)ll;
+            g_lsrc[n] = (int32_t)lsrc;
+            g_off[n] = (int32_t)off;
+            g_ml[n] = (int32_t)ml;
+            n++;
+        }
+        o += ll + ml;
+    }
+    return n;
 }
 
 // Batched, multithreaded fan-out over independent blocks: the CPU analogue

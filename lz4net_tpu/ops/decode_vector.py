@@ -570,28 +570,73 @@ class VectorDecoder:
     genuine corruption reaches the CPU oracle.
     """
 
+    MAX_BLOCK = 96 * 1024
+
     def decode_batch(self, blocks, out_lens, dictionary=None):
         n = len(blocks)
         if n == 0:
             return []
-        max_c = max(max(len(b) for b in blocks), 16)
-        max_d = max(max(out_lens), 1)
-        if max_c > 96 * 1024 or max_d > 96 * 1024:
-            # field bit-budgets (19-bit biased deltas, 18-bit indices)
-            # assume <= 96 KB blocks; larger blocks take the host path
-            return [self._host_decode(b, n, dictionary)
-                    for b, n in zip(blocks, out_lens)]
+        small = [i for i in range(n)
+                 if len(blocks[i]) <= self.MAX_BLOCK
+                 and out_lens[i] <= self.MAX_BLOCK]
+        big = [i for i in range(n) if i not in set(small)]
 
         results = [None] * n
-        retry = self._device_pass(blocks, out_lens, range(n), results,
-                                  dense=False, dictionary=dictionary)
-        if retry:
-            retry = self._device_pass(blocks, out_lens, retry, results,
-                                      dense=True, dictionary=dictionary)
-        for b in retry:
-            results[b] = self._host_decode(blocks[b], out_lens[b],
-                                           dictionary)
+        if small:
+            sub = [blocks[i] for i in small]
+            sub_lens = [out_lens[i] for i in small]
+            sub_res = [None] * len(small)
+            retry = self._device_pass(sub, sub_lens, range(len(small)),
+                                      sub_res, dense=False,
+                                      dictionary=dictionary)
+            if retry:
+                retry = self._device_pass(sub, sub_lens, retry, sub_res,
+                                          dense=True,
+                                          dictionary=dictionary)
+            for b in retry:
+                sub_res[b] = self._host_decode(sub[b], sub_lens[b],
+                                               dictionary)
+            for i, r in zip(small, sub_res):
+                results[i] = r
+        for i in big:
+            results[i] = self._decode_big(blocks[i], out_lens[i],
+                                          dictionary)
         return results
+
+    def _decode_big(self, block, out_len, dictionary=None):
+        """Decode one block beyond the kernel cap as a sequence of
+        <= 96 KB fragments, each resolved against the previous 64 KB of
+        output through the prefix-window path (ops/bigblock.py); the
+        reference block API takes up to ~1.9 GB (`original/lz4.h:70`)."""
+        from .bigblock import WINDOW, split_fragments
+        frags = split_fragments(block, out_len)
+        if frags is None:
+            return self._host_decode(block, out_len, dictionary)
+        head = bytes(dictionary)[-WINDOW:] if dictionary else b""
+        out = bytearray()
+        # batch consecutive fragments while their windows are already
+        # final (a fragment's window is the 64 KB before its start, so
+        # any run of fragments fits one dispatch only if each starts
+        # where the previous ends — decode waves sequentially but batch
+        # per dispatch as wide as the device batch allows is future
+        # work; correctness first: one fragment per pass, batched at
+        # the stream layer across blocks)
+        for frag, o0, span in frags:
+            window = (head + bytes(out))[-WINDOW:] if o0 < WINDOW \
+                else bytes(out[o0 - WINDOW:o0])
+            piece = [None]
+            retry = self._device_pass([frag], [span], [0], piece,
+                                      dense=False,
+                                      dictionary=window or None)
+            if retry:
+                retry = self._device_pass([frag], [span], [0], piece,
+                                          dense=True,
+                                          dictionary=window or None)
+            if retry:
+                from ..models import native
+                piece[0] = native.decompress_fragment(frag, window, span)
+            out += piece[0]
+        return bytes(out)
 
     def decode_batch_unknown(self, blocks, max_out_lens):
         """Unknown-output-length decode on device.

@@ -170,7 +170,8 @@ def _xor_match_bytes_rev(wa, wb):
 
 
 def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
-                   top_offsets=TOP_OFFSETS, sub_step=16):
+                   top_offsets=TOP_OFFSETS, sub_step=16,
+                   ext_rounds=EXT_ROUNDS):
     """(matched, offset, mlen) for every position; far matches capped at
     MAX_FAR_MLEN (the merge pass recovers longer ones).  ``m8`` marks
     positions whose candidate came from the 8-byte-prefix sort (first 8
@@ -211,7 +212,7 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     pp, psp = plane_split([(jnp.maximum(prev, 0), 17)])
     prev_c = plane_join(full_gather(pp, ppos_c), psp)[0]
     l_c = jnp.full((B, rcap), MINMATCH + 4, jnp.int32)
-    for _ in range(EXT_ROUNDS):
+    for _ in range(ext_rounds):
         wa = plane_join(full_gather(
             up, jnp.clip(ppos_c + l_c, 0, D - 1)), usp)[0]
         wb = plane_join(full_gather(
@@ -486,8 +487,9 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     up2, usp2 = plane_split([(u32, 32)])
     cb = jnp.zeros_like(tok_c)
     can = valid & (mlen_s > 0)
+    floor_abs = P - pre_len_arr[:, None]   # lowest legal match source
     for _ in range(2 if hc_level == 0 else 8):
-        cb_max = jnp.minimum(lit_len, tok_c - off_s)   # stay in bounds
+        cb_max = jnp.minimum(lit_len, tok_c - off_s - floor_abs)
         pa = jnp.clip(tok_c - cb - 4, 0, x.shape[1] - 1)
         pb = jnp.clip(tok_c - off_s - cb - 4, 0, x.shape[1] - 1)
         wa = plane_join(full_gather(up2, pa), usp2)[0]
@@ -610,7 +612,14 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     out = out * (o[None, :] < out_len[:, None])
 
     ok = (n_seqs < S_cap) & (n_m < S_cap)
-    return out, out_len, ok
+    # aux: (first record's literal length, final record's literal
+    # length) — the big-block segment assembler merges boundary
+    # literal runs with these (VectorEncoder._encode_big)
+    first_lit = jnp.where(n_m > 0, lit_len_m[:, 0],
+                          end_abs - tail_start)
+    tail_lit = end_abs - tail_start
+    aux = jnp.stack([first_lit, tail_lit], axis=1)
+    return out, out_len, ok, aux
 
 
 class VectorEncoder:
@@ -635,6 +644,10 @@ class VectorEncoder:
         if dst_maxlens is None:
             dst_maxlens = [maximum_output_length(len(b)) for b in blocks]
         results = [None] * n
+        for b in range(n):
+            if len(blocks[b]) > self.MAX_BLOCK:
+                results[b] = self._encode_big(blocks[b], dst_maxlens[b],
+                                              hc_level, dictionary)
         device = [b for b in range(n)
                   if 0 < len(blocks[b]) <= self.MAX_BLOCK]
         if device:
@@ -657,9 +670,11 @@ class VectorEncoder:
             dl = np.array([len(blocks[b]) for b in device], np.int32)
             pre_len = (jnp.asarray(np.full(len(device), len(window),
                                            np.int32)) if P else None)
-            out, out_len, ok = encode_batch_vectorized(
-                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
-                hc_level=min(max(hc_level, 0), 9), P=P, pre_len=pre_len)
+            lvl = min(max(hc_level, 0), 9)
+            rcap = max(4096, D // 4) if lvl > 0 else 4096
+            out, out_len, ok, _aux = encode_batch_vectorized(
+                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
+                hc_level=lvl, P=P, pre_len=pre_len)
             out = np.asarray(out)
             out_len, ok = np.asarray(out_len), np.asarray(ok)
             for j, b in enumerate(device):
@@ -673,6 +688,99 @@ class VectorEncoder:
                 results[b] = self._host_encode(blocks[b], dst_maxlens[b],
                                                hc_level, dictionary)
         return results
+
+    SEG_SIZE = 64 * 1024
+
+    def _encode_big(self, block, dst_maxlen, hc_level=0, dictionary=None):
+        """Encode one block beyond the kernel cap by segmenting the
+        input: each 64 KB segment encodes against the previous 64 KB as
+        a prefix window (encode_batch_vectorized P mode), and the
+        concatenated payloads form ONE valid LZ4 block — offsets are
+        16-bit so no sequence reaches past the window, and each
+        segment's literal tail (MFLIMIT rules applied per segment) is
+        plain mid-block literals.  All segments encode in ONE device
+        batch (their windows are input slices, no sequential
+        dependency).  Cost vs whole-block encode: a forced <= 12-byte
+        literal tail per 64 KB (< 0.02%).  Raises nothing: falls back
+        to the host oracle when the device flags any segment."""
+        from ..constants import MAX_DISTANCE
+        from ..models import native, reference
+        n = len(block)
+        segs = [(s, min(self.SEG_SIZE, n - s))
+                for s in range(0, n, self.SEG_SIZE)]
+        # per-segment windows: dictionary tail for the first, the
+        # preceding input bytes after
+        P = _cdiv(MAX_DISTANCE + 1, CH) * CH
+        D = P + _cdiv(self.SEG_SIZE + 1, CH) * CH
+        O = _cdiv(maximum_output_length(D - P) + 1, CH) * CH
+        S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
+        x = np.zeros((len(segs), D), np.int32)
+        dl = np.zeros(len(segs), np.int32)
+        pre_len = np.zeros(len(segs), np.int32)
+        head = bytes(dictionary)[-(MAX_DISTANCE + 1):] if dictionary \
+            else b""
+        for j, (s, ln) in enumerate(segs):
+            lo = max(0, s - (MAX_DISTANCE + 1))
+            window = block[lo:s]
+            if s < MAX_DISTANCE + 1 and head:
+                window = (head + block[:s])[-(MAX_DISTANCE + 1):]
+            if window:
+                x[j, P - len(window):P] = np.frombuffer(window, np.uint8)
+            x[j, P:P + ln] = np.frombuffer(block[s:s + ln], np.uint8)
+            dl[j] = ln
+            pre_len[j] = len(window)
+        lvl = min(max(hc_level, 0), 9)
+        rcap = max(4096, D // 4) if lvl > 0 else 4096
+        out, out_len, ok, aux = encode_batch_vectorized(
+            jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
+            hc_level=lvl, P=P,
+            pre_len=jnp.asarray(pre_len))
+        out, out_len = np.asarray(out), np.asarray(out_len)
+        aux = np.asarray(aux)
+        if not np.asarray(ok).all():
+            return self._host_encode(block, dst_maxlen, hc_level,
+                                     dictionary)
+
+        # Boundary merge: a literal-only record is legal only as a
+        # block's LAST sequence, so each non-final segment's literal
+        # tail (its bytes are an input suffix) is stripped and merged
+        # into the next segment's first record's literal run.
+        from .bigblock import _synth_literals
+
+        def _lit_hdr(ll):
+            return 1 + (0 if ll < 15 else 1 + (ll - 15) // 255)
+
+        parts = []
+        pending = 0                      # carried literal byte count
+        for j, (sg, ln) in enumerate(segs):
+            pl_ = out[j, :int(out_len[j])].astype(np.uint8).tobytes()
+            first_ll = int(aux[j, 0])
+            tail_ll = int(aux[j, 1])
+            if first_ll == ln and tail_ll == ln:
+                pending += ln            # literal-only segment
+                continue
+            if pending:
+                new_ll = pending + first_ll
+                tok_old = pl_[0]
+                lit_bytes = bytes(block[sg - pending:sg])
+                head = _synth_literals(
+                    lit_bytes + pl_[_lit_hdr(first_ll):
+                                    _lit_hdr(first_ll) + first_ll])
+                # _synth_literals emits token with ml nibble 0; restore
+                # the original match nibble
+                head = bytes([head[0] | (tok_old & 15)]) + head[1:]
+                pl_ = head + pl_[_lit_hdr(first_ll) + first_ll:]
+            if j < len(segs) - 1:
+                strip = _lit_hdr(tail_ll) + tail_ll
+                pl_ = pl_[:len(pl_) - strip]
+                pending = tail_ll
+            else:
+                pending = 0
+            parts.append(pl_)
+        if pending:                      # trailing literal-only tail
+            parts.append(_synth_literals(bytes(block[n - pending:])))
+        payload = b"".join(parts)
+        return payload if len(payload) <= dst_maxlen else b""
 
     @staticmethod
     def _host_encode(block, dst_maxlen, hc_level=0, dictionary=None):

@@ -95,6 +95,13 @@ def main():
         got_d = dec.decode_batch([pk], [len(body)], dictionary=dictionary)
         report("decode.dict", got_d[0] == body)
 
+        # beyond the 96 KB kernel cap: prefix-window fragment waves
+        big = corpus.silesia_like(200 * 1024, seed=77)
+        pk_big = native.compress_block(big)
+        got_big = dec.decode_batch([pk_big], [len(big)])
+        report("decode.bigblock", got_big[0] == big,
+               f"{len(big) >> 10} KB")
+
     if "encode" in which:
         import jax.numpy as jnp
         from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv
@@ -112,7 +119,7 @@ def main():
             x[i, :len(b)] = np.frombuffer(b, np.uint8)
             dl[i] = len(b)
         for lvl, name in ((0, "encode.fast"), (9, "encode.hc")):
-            out, out_len, ok = encode_batch_vectorized(
+            out, out_len, ok, _aux = encode_batch_vectorized(
                 jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
                 hc_level=lvl)
             out, out_len = np.asarray(out), np.asarray(out_len)
