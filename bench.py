@@ -424,7 +424,9 @@ def main():
     if "gbps" in runs.get("corpus", {}):
         result["realbytes_gbps"] = runs["corpus"]["gbps"]
         result["realbytes_ratio"] = runs["corpus"].get("ratio")
-    result["runs"] = {k: (v.get("gbps", v.get("error", v.get("skipped"))))
+    result["runs"] = {k: (v.get("gbps", v.get("parallel_efficiency",
+                                               v.get("error",
+                                                     v.get("skipped")))))
                       for k, v in runs.items()}
     result["wall_s"] = round(time.time() - t_start, 1)
     print(json.dumps(result))

@@ -40,9 +40,9 @@ P5  wavefront resolve    literal bytes materialise globally (their comp
                          (self-overlapping RLE matches were already
                          collapsed analytically via mod arithmetic).
 
-Anything structurally rare routes through `banded.compact_fallback`
-(exact) and anything unbounded (sequence/event counts over the static
-caps, fallback overflow) sets a per-block ``ok=False`` that the host
+Anything unbounded (sequence/event counts over the static caps, band
+fallback overflow, parse-window misses) sets a per-block ``ok=False``
+that the host
 wrapper serves from the CPU oracle — mirroring the reference's
 graceful-degradation pattern (`LZ4Codec.cs:82-100`).
 
@@ -60,9 +60,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MAX_DISTANCE
-from .banded import (banded_gather, compact_fallback, full_gather,
-                     hier_gather, plane_join, plane_split,
-                     scatter_add_planes, sorted_compact)
+from .banded import (banded_gather, full_gather, hier_gather,
+                     plane_join, plane_split, scatter_add_planes,
+                     sorted_compact)
 from . import fused_gather as fg
 
 # only the last 64 KB of a preset dictionary is reachable (offsets are
@@ -110,8 +110,11 @@ def _suffix_run255(b):
 # P1 — speculative parse
 # ---------------------------------------------------------------------------
 
-def _speculative_parse(comp, C, k2_cap, fused=False):
-    """Per-position parse fields: (g, lit_len, hdr, mpos, mlen, overflow)."""
+def _speculative_parse(comp, C, k2_cap):
+    """Per-position parse fields: (g, lit_len, hdr, mpos, mlen, overflow).
+
+    XLA-only path: on real TPU the fused pipeline routes P1-P4 through
+    `parse_kernel.parse_tokens` instead (decode_batch_vectorized)."""
     b = comp
     i = jnp.arange(C, dtype=jnp.int32)
     run255 = _suffix_run255(b)
@@ -123,12 +126,9 @@ def _speculative_parse(comp, C, k2_cap, fused=False):
     # start; junk positions (inside 0xFF-filled literal data) may fall
     # out of band and read garbage, which stays junk-safe via clipping.
     term_idx = jnp.clip(i[None, :] + run255, 0, C - 1)
-    if fused:
-        term, _ = fg.diag_gather(b, term_idx, 0, 5)
-    else:
-        planes_b, _ = plane_split([(b, 8)])
-        term, _ = banded_gather(planes_b, term_idx, BCH, BW, 0)
-        term = term[:, 0, :]
+    planes_b, _ = plane_split([(b, 8)])
+    term, _ = banded_gather(planes_b, term_idx, BCH, BW, 0)
+    term = term[:, 0, :]
     ext_val = jnp.clip(255 * run255 + term, 0, M17)
 
     lit_nib = b >> 4
@@ -141,20 +141,11 @@ def _speculative_parse(comp, C, k2_cap, fused=False):
     lit_len = jnp.clip(lit_len, 0, M17)
     hdr = 1 + jnp.where(lit_nib == 15, 1 + ext_lit // 255, 0)
 
-    # match side: extension starts at mpos+2 (one long-range gather;
-    # fused path: 16-row diagonal window catches literal runs < ~2 KB,
-    # the rest is served exactly by the compacted-fallback full gather)
+    # match side: extension starts at mpos+2 (one long-range gather)
     mpos = jnp.clip(i[None, :] + hdr + lit_len, 0, C - 1)
     mp2 = jnp.clip(mpos + 2, 0, C - 1)
-    if fused:
-        ext_m, band = fg.diag_gather(ext_val, mp2, 0, 16)
-        planes_e, spans_e = plane_split([(ext_val, 17)])
-        vals_p, _ = plane_split([(jnp.where(band, ext_m, 0), 17)])
-        merged, ovf = compact_fallback(planes_e, mp2, ~band, vals_p, k2_cap)
-        ext_m = plane_join(merged, spans_e)[0]
-    else:
-        (ext_m,), ovf = hier_gather([(ext_val, 17)], mp2,
-                                    ch=BCH, w=BW, back=0, k2_cap=k2_cap)
+    (ext_m,), ovf = hier_gather([(ext_val, 17)], mp2,
+                                ch=BCH, w=BW, back=0, k2_cap=k2_cap)
     ext_m = jnp.clip(ext_m, 0, M17)
     mlen = 4 + jnp.where(ml_nib == 15, 15 + ext_m, ml_nib)
     mlen = jnp.clip(mlen, 0, M17)
@@ -195,7 +186,7 @@ def _seg_lookup_1(planes3, local):
     return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16)
 
 
-def _segment_exits(g3, nseg, fused=False):
+def _segment_exits(g3, nseg):
     """H[b,s,e] = first chain position >= end of segment s starting from
     position 128*s+e, by in-segment pointer doubling (2^6 >= 43 tokens)."""
     seg_end = ((jnp.arange(nseg, dtype=jnp.int32) + 1) * SEG)[None, :, None]
@@ -203,12 +194,7 @@ def _segment_exits(g3, nseg, fused=False):
     H = g3
     for _ in range(6):
         in_seg = H < seg_end
-        if fused:
-            # in-segment lookup = native lane shuffle (mod-128 indexing
-            # wraps out-of-segment values; they are masked right after)
-            nxt = fg.lane_lookup(H, H - seg_start)
-        else:
-            nxt = _seg_lookup_k(_seg_planes(H), H - seg_start)
+        nxt = _seg_lookup_k(_seg_planes(H), H - seg_start)
         H = jnp.where(in_seg, nxt, H)
     return H
 
@@ -326,14 +312,14 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
     else:
         # P1 — parse
         g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1 = \
-            _speculative_parse(comp, C, k2_cap=k2_cap, fused=fused)
+            _speculative_parse(comp, C, k2_cap=k2_cap)
         pmiss = ovf1 != 0
         if upto == 1:
             return _chk(g, lit_len_all, hdr_all, mpos_all, mlen_all, ovf1)
 
         # P2 — chain threading
         g3 = g.reshape(B, nseg, SEG)
-        H3 = _segment_exits(g3, nseg, fused=fused)
+        H3 = _segment_exits(g3, nseg)
         if upto == 2:
             return _chk(H3)
         entries = _thread_chain(H3, nseg)
@@ -350,8 +336,6 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
         # sequence/event caps apply (nothing is compacted)
         from .records_kernel import records_to_state
         from .resolve_kernel import resolve_wavefront
-        if pre_len is None:
-            pre_len = jnp.zeros((B,), jnp.int32)
         t0m, cidx, stats = records_to_state(
             comp, mark, lit_len_all, mlen_all, comp_len, out_len,
             pre_len, C, Dt, P)

@@ -44,7 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 VFLAG = 1 << 19
-W = 6               # source-row window per dest row (see module doc)
+# Source-row window per dest row.  Worst-case bound: map_lo anchors on
+# the dest row's FIRST byte, so the window must cover every sequence
+# governing its 128 bytes: each sequence emits >= 4 output bytes and
+# occupies >= 3 comp bytes, so 128 output bytes span <= 32 sequences
+# <= 32 * (3 + lit) comp bytes; with the <= 15-byte average literal run
+# the bench corpora exhibit that is ~415 B < 5 * 128, plus one row of
+# anchor slack = 6 rows.  A window miss is NOT silent: every ungoverned
+# byte increments cover_miss (kernel body) -> ok=False -> host oracle.
+W = 6
 DCH = 64            # dest rows per fetch chunk (8 KB of output)
 OFF_W1 = 8          # narrow diagonal window for the offset gather
 
