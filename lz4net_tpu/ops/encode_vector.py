@@ -67,6 +67,22 @@ from ..constants import (LASTLITERALS, MAX_DISTANCE, MFLIMIT, MINLENGTH,
                          MINMATCH, ML_MASK, RUN_MASK, maximum_output_length)
 from .banded import (full_gather, plane_join, plane_split,
                      scatter_add_planes, sorted_compact)
+from . import fused_gather as fg
+
+
+def _gather_multi(tables_bits, idx, fused):
+    """Exact gather of several tables at one index stream.
+
+    fused=True routes through the in-VMEM one-hot kernel
+    (`fused_gather.table_gather`) — a large win for SMALL index sets,
+    where the XLA path's cost is dominated by staging one-hot and row
+    tensors through HBM (~1 ms per call regardless of K).  The XLA path
+    stays for CPU tests and big-K sites."""
+    if fused:
+        return fg.table_gather(tuple(t for t, _ in tables_bits), idx,
+                               tuple(b for _, b in tables_bits))
+    pp, sp = plane_split(tables_bits)
+    return plane_join(full_gather(pp, idx), sp)
 from .decode_vector import (CH, LANE, SEG, _cdiv, _mark_tokens,
                             _segment_exits, _thread_chain)
 
@@ -171,7 +187,7 @@ def _xor_match_bytes_rev(wa, wb):
 
 def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
                    top_offsets=TOP_OFFSETS, sub_step=16,
-                   ext_rounds=EXT_ROUNDS):
+                   ext_rounds=EXT_ROUNDS, fused=False):
     """(matched, offset, mlen) for every position; far matches capped at
     MAX_FAR_MLEN (the merge pass recovers longer ones).  ``m8`` marks
     positions whose candidate came from the 8-byte-prefix sort (first 8
@@ -209,14 +225,14 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     ppos = sorted_compact(alive, rcap, big=D)            # [B, rcap]
     palive = ppos < D
     ppos_c = jnp.clip(ppos, 0, D - 1)
-    pp, psp = plane_split([(jnp.maximum(prev, 0), 17)])
-    prev_c = plane_join(full_gather(pp, ppos_c), psp)[0]
+    (prev_c,) = _gather_multi([(jnp.maximum(prev, 0), 17)], ppos_c,
+                              fused)
     l_c = jnp.full((B, rcap), MINMATCH + 4, jnp.int32)
     for _ in range(ext_rounds):
-        wa = plane_join(full_gather(
-            up, jnp.clip(ppos_c + l_c, 0, D - 1)), usp)[0]
-        wb = plane_join(full_gather(
-            up, jnp.clip(prev_c + l_c, 0, D - 1)), usp)[0]
+        (wa,) = _gather_multi([(u32, 32)],
+                              jnp.clip(ppos_c + l_c, 0, D - 1), fused)
+        (wb,) = _gather_multi([(u32, 32)],
+                              jnp.clip(prev_c + l_c, 0, D - 1), fused)
         nb = jnp.where(palive, _xor_match_bytes(wa, wb), 0)
         l_c = l_c + nb
         palive = palive & (nb == 4)
@@ -264,9 +280,9 @@ def _next_match_at_or_after(matched, D):
 
 
 @functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap",
-                                              "hc_level", "P"))
+                                              "hc_level", "P", "fused"))
 def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
-                            hc_level=0, P=0, pre_len=None):
+                            hc_level=0, P=0, pre_len=None, fused=False):
     """Greedy-encode a batch of independent blocks.
 
     x: [B, D] int32 bytes (zero padded), data_len: [B] int32.
@@ -316,7 +332,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
     prev = jnp.where(m8, prev8, prev4)
     matched, off_all, mlen_all = _match_lengths(
-        x, u32, prev, m8, end_abs, data_len, D, rcap)
+        x, u32, prev, m8, end_abs, data_len, D, rcap, fused=fused)
 
     import os
     _dbg = os.environ.get("LZ4NET_HC_DEBUG", "")
@@ -401,7 +417,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
             m_t, off_t, ml_t = _match_lengths(
                 x, u32, jnp.where(ok_t, prev_t, prev),
                 claim, end_abs, data_len, D, rcap,
-                top_offsets=24, sub_step=8)
+                top_offsets=24, sub_step=8, fused=fused)
             better = m_t & ok_t & (ml_t > mlen_all)
             matched = matched | better
             off_all = jnp.where(better, off_t, off_all)
@@ -471,8 +487,8 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     tok = sorted_compact(mark == 1, S_cap, big=D)
     valid = tok < D
     tok_c = jnp.clip(tok, 0, D - 1)
-    fp, fsp = plane_split([(off_all, 17), (mlen_all, 17)])
-    off_s, mlen_s = plane_join(full_gather(fp, tok_c), fsp)
+    off_s, mlen_s = _gather_multi([(off_all, 17), (mlen_all, 17)],
+                                  tok_c, fused)
     off_s = jnp.where(valid, off_s, 0)
     mlen_s = jnp.where(valid, mlen_s, 0)
 
@@ -484,7 +500,6 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     # catch-up: extend each selected match backwards over equal bytes,
     # shrinking the preceding literal run (`Safe64.Dirty.cs:145-149`).
     # The match *end* is unchanged, so the parse chain is unaffected.
-    up2, usp2 = plane_split([(u32, 32)])
     cb = jnp.zeros_like(tok_c)
     can = valid & (mlen_s > 0)
     floor_abs = P - pre_len_arr[:, None]   # lowest legal match source
@@ -492,8 +507,8 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
         cb_max = jnp.minimum(lit_len, tok_c - off_s - floor_abs)
         pa = jnp.clip(tok_c - cb - 4, 0, x.shape[1] - 1)
         pb = jnp.clip(tok_c - off_s - cb - 4, 0, x.shape[1] - 1)
-        wa = plane_join(full_gather(up2, pa), usp2)[0]
-        wb = plane_join(full_gather(up2, pb), usp2)[0]
+        (wa,) = _gather_multi([(u32, 32)], pa, fused)
+        (wb,) = _gather_multi([(u32, 32)], pb, fused)
         nb = jnp.where(can & (tok_c - cb - 4 >= 0)
                        & (tok_c - off_s - cb - 4 >= 0),
                        _xor_match_bytes_rev(wa, wb), 0)
@@ -514,19 +529,18 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_next, axis=-1),
                               axis=start_next.ndim - 1), axis=-1)
     last = jnp.clip(nxt - 1, 0, S_cap - 1)
-    mp, msp = plane_split([(mcum, 21)])
-    mcum_last = plane_join(full_gather(mp, last), msp)[0]
+    (mcum_last,) = _gather_multi([(mcum, 21)], last, fused)
     merged_mlen = mcum_last - (mcum - mlen_s)
 
     keep = is_start & valid
     n_m = jnp.sum(keep, axis=1)
     kidx = sorted_compact(keep, S_cap, big=S_cap)
-    kp, ksp = plane_split([(jnp.where(keep, lit_start, 0), 17),
-                           (jnp.where(keep, lit_len, 0), 17),
-                           (jnp.where(keep, off_s, 0), 17),
-                           (jnp.where(keep, merged_mlen, 0), 17)])
-    lit_start_m, lit_len_m, off_m, mlen_m = plane_join(
-        full_gather(kp, jnp.clip(kidx, 0, S_cap - 1)), ksp)
+    lit_start_m, lit_len_m, off_m, mlen_m = _gather_multi(
+        [(jnp.where(keep, lit_start, 0), 17),
+         (jnp.where(keep, lit_len, 0), 17),
+         (jnp.where(keep, off_s, 0), 17),
+         (jnp.where(keep, merged_mlen, 0), 17)],
+        jnp.clip(kidx, 0, S_cap - 1), fused)
     valid_m = kidx < S_cap
     lit_start_m = jnp.where(valid_m, lit_start_m, 0)
     lit_len_m = jnp.where(valid_m, lit_len_m, 0)
@@ -670,11 +684,12 @@ class VectorEncoder:
             dl = np.array([len(blocks[b]) for b in device], np.int32)
             pre_len = (jnp.asarray(np.full(len(device), len(window),
                                            np.int32)) if P else None)
+            from .decode_vector import _use_fused
             lvl = min(max(hc_level, 0), 9)
             rcap = max(4096, D // 4) if lvl > 0 else 4096
             out, out_len, ok, _aux = encode_batch_vectorized(
                 jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
-                hc_level=lvl, P=P, pre_len=pre_len)
+                hc_level=lvl, P=P, pre_len=pre_len, fused=_use_fused())
             out = np.asarray(out)
             out_len, ok = np.asarray(out_len), np.asarray(ok)
             for j, b in enumerate(device):
@@ -729,12 +744,13 @@ class VectorEncoder:
             x[j, P:P + ln] = np.frombuffer(block[s:s + ln], np.uint8)
             dl[j] = ln
             pre_len[j] = len(window)
+        from .decode_vector import _use_fused
         lvl = min(max(hc_level, 0), 9)
         rcap = max(4096, D // 4) if lvl > 0 else 4096
         out, out_len, ok, aux = encode_batch_vectorized(
             jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
             hc_level=lvl, P=P,
-            pre_len=jnp.asarray(pre_len))
+            pre_len=jnp.asarray(pre_len), fused=_use_fused())
         out, out_len = np.asarray(out), np.asarray(out_len)
         aux = np.asarray(aux)
         if not np.asarray(ok).all():

@@ -315,6 +315,8 @@ def table_gather(tables, idx, bits, kchunk: int = 1024):
         grid=(B,),
         in_specs=[tspec] * len(tables) + [kspec],
         out_specs=tuple(kspec for _ in tables),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*(t.reshape(B, nrows, LANE) for t in tables),
       idx.reshape(B, KR, LANE))
