@@ -92,3 +92,39 @@ def test_codec_facade_fast_mode(monkeypatch):
     data = CASES["text"]
     packed = codec.encode(data, mode="fast")
     assert codec.decode(packed, len(data)) == data
+
+
+def test_fused_emission_matches_xla_emission():
+    """The emission megakernel (ops/emit_kernel.py, fused=True) must
+    emit byte-identical output to the XLA scatter path at both levels
+    (interpret mode; the chip path is covered by tools/certify.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lz4net_tpu.constants import MINMATCH, maximum_output_length
+    from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv
+    from lz4net_tpu.ops.encode_vector import encode_batch_vectorized
+    from lz4net_tpu.utils import corpus
+    B = 2
+    data = corpus.silesia_like(B * 12288, seed=91)
+    blocks = corpus.split_blocks(data, 12288)
+    D = _cdiv(12288 + 1, CH) * CH
+    O = _cdiv(maximum_output_length(D) + 1, CH) * CH
+    S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
+    x = np.zeros((B, D), np.int32)
+    dl = np.zeros(B, np.int32)
+    for i, b in enumerate(blocks):
+        x[i, :len(b)] = np.frombuffer(b, np.uint8)
+        dl[i] = len(b)
+    for lvl in (0, 9):
+        o1, l1, k1, _ = encode_batch_vectorized(
+            jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
+            hc_level=lvl, fused=False)
+        o2, l2, k2, _ = encode_batch_vectorized(
+            jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
+            hc_level=lvl, fused=True)
+        o1, o2 = np.asarray(o1), np.asarray(o2)
+        l1, l2 = np.asarray(l1), np.asarray(l2)
+        assert (l1 == l2).all()
+        assert np.asarray(k2).all()
+        for i in range(B):
+            assert (o1[i, :l1[i]] == o2[i, :l2[i]]).all()
