@@ -200,9 +200,10 @@ def _bench_encode(blocks, hc_level):
     greedy, 9 = fast-HC), input bytes per second."""
     import jax
     import jax.numpy as jnp
-    from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv
+    from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv, _use_fused
     from lz4net_tpu.ops.encode_vector import encode_batch_vectorized
     from lz4net_tpu.constants import MINMATCH, maximum_output_length
+    fused = _use_fused()     # the production VectorEncoder path
 
     B = VECTOR_SUB_BATCH
     n_sub = len(blocks) // B
@@ -221,7 +222,8 @@ def _bench_encode(blocks, hc_level):
     def one_pass():
         for s in range(n_sub):
             out, out_len, ok, _aux = encode_batch_vectorized(
-                xd[s], dld[s], D, O, S_cap, hc_level=hc_level)
+                xd[s], dld[s], D, O, S_cap, hc_level=hc_level,
+                fused=fused)
         return out_len, ok
 
     out_len, ok = one_pass()

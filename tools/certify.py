@@ -104,9 +104,10 @@ def main():
 
     if "encode" in which:
         import jax.numpy as jnp
-        from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv
+        from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv, _use_fused
         from lz4net_tpu.ops.encode_vector import encode_batch_vectorized
         from lz4net_tpu.constants import MINMATCH, maximum_output_length
+        fused = _use_fused()   # certify the PRODUCTION VectorEncoder path
         B = 8
         sub = blocks[:B]
         max_d = max(len(b) for b in sub)
@@ -121,7 +122,7 @@ def main():
         for lvl, name in ((0, "encode.fast"), (9, "encode.hc")):
             out, out_len, ok, _aux = encode_batch_vectorized(
                 jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
-                hc_level=lvl)
+                hc_level=lvl, fused=fused)
             out, out_len = np.asarray(out), np.asarray(out_len)
             okn = np.asarray(ok)
             bad = 0
