@@ -260,3 +260,26 @@ def sorted_compact(mask, cap: int, big: int):
     i = jnp.arange(N, dtype=jnp.int32)
     keyed = jnp.where(mask, i[None, :], jnp.int32(big))
     return jax.lax.sort(keyed, dimension=-1)[:, :cap]
+
+
+def compact_indices(mask, cap: int, big: int):
+    """``sorted_compact`` without the sort: position of the k-th set
+    bit = lower_bound(cumsum(mask), k+1), a power-of-two binary-search
+    descent of ~log2(N) `take_along_axis` rounds over [B, cap] — ~10x
+    cheaper than a [B, 64K] `lax.sort` on v5e (the k-th-set-bit query
+    is monotone in k, the records/emit kernels' windowed-search fact,
+    but here the domain is the full comp axis so a plain branchless
+    lower bound is simplest).  Returns [B, cap] int32, padded with
+    ``big`` past the population count."""
+    B, N = mask.shape
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)         # [B, N]
+    target = jnp.arange(cap, dtype=jnp.int32)[None, :] + 1   # k+1
+    cur = jnp.zeros((B, cap), jnp.int32)   # count of prefix cs < k+1
+    step = 1 << (N - 1).bit_length()
+    while step:
+        cand = cur + step
+        csv = jnp.take_along_axis(
+            cs, jnp.clip(cand - 1, 0, N - 1), axis=-1)
+        cur = jnp.where((cand <= N) & (csv < target), cand, cur)
+        step >>= 1
+    return jnp.where(cur < N, cur, jnp.int32(big))

@@ -62,7 +62,7 @@ import numpy as np
 from ..constants import MAX_DISTANCE
 from .banded import (banded_gather, full_gather, hier_gather,
                      plane_join, plane_split, scatter_add_planes,
-                     sorted_compact)
+                     sorted_compact, compact_indices)
 from . import fused_gather as fg
 
 # only the last 64 KB of a preset dictionary is reachable (offsets are
@@ -375,7 +375,7 @@ def decode_batch_vectorized(comp, comp_len, out_len, C, D, S_cap, E_cap,
 
     # P3 — sequence records
     n_seqs = jnp.sum(mark, axis=1)
-    tok_pos = sorted_compact(mark == 1, S_cap, big=C)      # [B, S_cap]
+    tok_pos = compact_indices(mark == 1, S_cap, big=C)      # [B, S_cap]
     valid_seq = tok_pos < C
     tok_c = jnp.clip(tok_pos, 0, C - 1)
 

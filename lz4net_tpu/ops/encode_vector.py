@@ -9,13 +9,15 @@ loops, no hardware gathers — reusing the banded-gather/segment-FSM
 machinery of the decode pipeline (`decode_vector.py`, `banded.py`):
 
 E1  candidates        the reference's hash table answers "most recent
-                      earlier position with the same 4-byte value".  One
-                      stable `lax.sort` of (u32, position) answers it
-                      *exactly* for every position at once (ties are
-                      position-ordered, so the left neighbour is the
-                      most recent earlier occurrence) — no hash, no
-                      collisions: a strictly stronger candidate set than
-                      the reference's 4K/8K-entry table.
+                      earlier position with the same 4-byte value".
+                      Fast mode uses the reference's own data structure
+                      TPU-ified: per-block 8K-bucket tables at 4- and
+                      8-byte prefix widths, carried through one XLA
+                      scan (`hash_kernel.bucket_prev`) — candidates are
+                      u32-verified in-table.  HC levels still use
+                      corpus-wide stable `lax.sort` prev-occurrence
+                      tiers (exact, collision-free) for their deeper
+                      candidate sets.
 E2  match lengths     periodic offsets (<= 4) get exact unbounded
                       lengths from per-offset equality-run scans (the
                       RLE path).  Far offsets extend by u32 compares:
@@ -33,7 +35,8 @@ E3  greedy parse      greedy selection ("take the first match at or
                       the decode pipeline's chain-threading problem,
                       solved by the same segment-exit doubling +
                       segment scan + in-segment marking.
-E4  sequence records  token positions compact by one sort; literal runs
+E4  sequence records  token positions compact by a cumsum + binary
+                      search (`banded.compact_indices`); literal runs
                       fall out of neighbouring records; contiguous
                       same-offset matches merge via segmented sums; the
                       block's literal tail becomes a final match-less
@@ -65,8 +68,8 @@ import numpy as np
 
 from ..constants import (LASTLITERALS, MAX_DISTANCE, MFLIMIT, MINLENGTH,
                          MINMATCH, ML_MASK, RUN_MASK, maximum_output_length)
-from .banded import (full_gather, plane_join, plane_split,
-                     scatter_add_planes, sorted_compact)
+from .banded import (compact_indices, full_gather, plane_join,
+                     plane_split, scatter_add_planes)
 from . import fused_gather as fg
 
 
@@ -222,7 +225,7 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     # compact the still-growing survivors once; extend them over a small
     # index set.  Survivors beyond ``rcap`` simply stay at their current
     # (valid) length.
-    ppos = sorted_compact(alive, rcap, big=D)            # [B, rcap]
+    ppos = compact_indices(alive, rcap, big=D)            # [B, rcap]
     palive = ppos < D
     ppos_c = jnp.clip(ppos, 0, D - 1)
     (prev_c,) = _gather_multi([(jnp.maximum(prev, 0), 17)], ppos_c,
@@ -243,16 +246,31 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
 
     # dominant far offsets get *exact unbounded* lengths: for a fixed
     # offset d, LCP(i, i-d) is an elementwise equality-run scan against
-    # the d-rolled input — no gathers.  The top-K offsets (subsampled
-    # histogram + top_k) cover structured/text data, where long far
-    # matches cluster on a few periods; anything else keeps the capped
-    # length and relies on the merge pass.
+    # the d-rolled input — no gathers.  The top-K offsets cover
+    # structured/text data, where long far matches cluster on a few
+    # periods; anything else keeps the capped length and relies on the
+    # merge pass.  Frequencies come from SORTING the subsampled offsets
+    # and counting runs — a [B, D/sub] sort is ~16x smaller than the
+    # depth-65536 scatter histogram it replaces (2.8 ms/call on chip,
+    # and _match_lengths runs once per HC candidate tier).
     sub = slice(None, None, sub_step)
     sub_far = far[:, sub]
-    hist = scatter_add_planes(
-        jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
-        sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
-    _, dks = jax.lax.top_k(hist, top_offsets)
+    subv = jnp.where(sub_far, off[:, sub], 0)
+    sv = jax.lax.sort(subv, dimension=-1)
+    K = sv.shape[-1]
+    kk = jnp.arange(K, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
+    start_next = jnp.where(
+        jnp.concatenate([is_start[:, 1:],
+                         jnp.ones((B, 1), bool)], axis=1),
+        kk[None, :] + 1, jnp.int32(K))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_next, axis=-1),
+                                  axis=1), axis=-1)
+    cnt = jnp.where(is_start & (sv > 0), nxt - kk[None, :], -1)
+    _, ti = jax.lax.top_k(cnt, top_offsets)
+    dks = jnp.take_along_axis(sv, ti, axis=-1)
+    dks = dks * (jnp.take_along_axis(cnt, ti, axis=-1) > 0)
     for t in range(top_offsets):
         dk = dks[:, t]
         rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(x, dk)
@@ -279,10 +297,8 @@ def _next_match_at_or_after(matched, D):
     return jnp.flip(nm_rev, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("D", "O", "S_cap", "rcap",
-                                              "hc_level", "P", "fused"))
-def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
-                            hc_level=0, P=0, pre_len=None, fused=False):
+def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
+                         hc_level=0, P=0, pre_len=None, fused=False):
     """Greedy-encode a batch of independent blocks.
 
     x: [B, D] int32 bytes (zero padded), data_len: [B] int32.
@@ -327,10 +343,22 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     # HC levels (two extra stable sorts each).
     u32 = _u32(x)
     u32s4 = jnp.concatenate([u32[:, 4:], jnp.zeros_like(u32[:, :4])], axis=1)
-    prev4 = _prev_occurrence((u32,))
-    prev8 = _prev_occurrence((u32, u32s4))
-    m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
-    prev = jnp.where(m8, prev8, prev4)
+    if hc_level == 0:
+        # fast mode: the reference's own candidate structure — two
+        # per-block 8K-bucket hash tables in VMEM (ops/hash_kernel.py,
+        # 4- and 8-byte prefixes standing in for the prev4/prev8 sort
+        # tiers), replacing four corpus-wide stable sorts on chip.
+        # Candidates are u32-verified in-kernel, the prev4 contract.
+        from .hash_kernel import (bucket_prev_impl, hash_bucket,
+                                  hash_bucket8)
+        prev = bucket_prev_impl(u32, u32s4, hash_bucket(u32),
+                                hash_bucket8(u32, u32s4), D)
+        m8 = jnp.zeros(prev.shape, bool)
+    else:
+        prev4 = _prev_occurrence((u32,))
+        prev8 = _prev_occurrence((u32, u32s4))
+        m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
+        prev = jnp.where(m8, prev8, prev4)
     matched, off_all, mlen_all = _match_lengths(
         x, u32, prev, m8, end_abs, data_len, D, rcap, fused=fused)
 
@@ -484,7 +512,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
 
     # E4 — sequence records
     n_seqs = jnp.sum(mark, axis=1)
-    tok = sorted_compact(mark == 1, S_cap, big=D)
+    tok = compact_indices(mark == 1, S_cap, big=D)
     valid = tok < D
     tok_c = jnp.clip(tok, 0, D - 1)
     off_s, mlen_s = _gather_multi([(off_all, 17), (mlen_all, 17)],
@@ -534,7 +562,7 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
 
     keep = is_start & valid
     n_m = jnp.sum(keep, axis=1)
-    kidx = sorted_compact(keep, S_cap, big=S_cap)
+    kidx = compact_indices(keep, S_cap, big=S_cap)
     lit_start_m, lit_len_m, off_m, mlen_m = _gather_multi(
         [(jnp.where(keep, lit_start, 0), 17),
          (jnp.where(keep, lit_len, 0), 17),
@@ -664,6 +692,45 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     tail_lit = end_abs - tail_start
     aux = jnp.stack([first_lit, tail_lit], axis=1)
     return out, out_len, ok, aux
+
+
+_AOT_CACHE: dict = {}
+
+
+def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
+                            hc_level=0, P=0, pre_len=None, fused=False):
+    """Jit entry for `_encode_batch_traced` via an explicit AOT
+    lower/compile cache rather than @jax.jit: jax 0.9's re-execution
+    fastpath runs a cached pjit executable with a mismatched buffer
+    list once several static-arg variants of this function have been
+    compiled ("Execution supplied 2 buffers but compiled program
+    expected 4") — AOT-compiled executables bypass that path.  Traced
+    callers (an enclosing jit/shard_map) inline the implementation."""
+    statics = dict(D=D, O=O, S_cap=S_cap, rcap=rcap, hc_level=hc_level,
+                   P=P, fused=fused)
+    if any(isinstance(a, jax.core.Tracer)
+           for a in (x, data_len, pre_len) if a is not None):
+        return _encode_batch_traced(x, data_len, pre_len=pre_len,
+                                    **statics)
+    x = jnp.asarray(x)
+    data_len = jnp.asarray(data_len)
+    if pre_len is not None:
+        pre_len = jnp.asarray(pre_len)
+    key = (x.shape, x.dtype, data_len.shape, pre_len is None,
+           tuple(sorted(statics.items())))
+    fn = _AOT_CACHE.get(key)
+    if fn is None:
+        if pre_len is None:
+            jitted = jax.jit(lambda a, b: _encode_batch_traced(
+                a, b, **statics))
+            fn = jitted.lower(x, data_len).compile()
+        else:
+            jitted = jax.jit(lambda a, b, c: _encode_batch_traced(
+                a, b, pre_len=c, **statics))
+            fn = jitted.lower(x, data_len, pre_len).compile()
+        _AOT_CACHE[key] = fn
+    return fn(x, data_len) if pre_len is None else fn(x, data_len,
+                                                      pre_len)
 
 
 class VectorEncoder:

@@ -106,3 +106,16 @@ def test_sorted_compact():
         exp = np.full(256, N + 5, np.int32)
         exp[:len(pos)] = pos[:256]
         np.testing.assert_array_equal(got[b], exp)
+
+
+def test_compact_indices_matches_sorted_compact():
+    import numpy as np
+    import jax.numpy as jnp
+    from lz4net_tpu.ops.banded import compact_indices, sorted_compact
+    rng = np.random.default_rng(3)
+    for N, cap, density in ((256, 16, 0.5), (1024, 64, 0.02),
+                            (4096, 4096, 0.9), (512, 8, 0.0)):
+        mask = jnp.asarray(rng.random((3, N)) < density)
+        a = np.asarray(sorted_compact(mask, cap, big=N))
+        b = np.asarray(compact_indices(mask, cap, big=N))
+        np.testing.assert_array_equal(a, b)
