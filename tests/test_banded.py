@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lz4net_tpu.ops import banded
 
 

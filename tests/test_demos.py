@@ -4,6 +4,10 @@
 Each test is the README quickstart, verbatim modulo file paths.
 """
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import io
 
 import lz4net_tpu as lz4

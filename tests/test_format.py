@@ -6,6 +6,8 @@ the normative format description (`original/lz4_format_description.txt`).
 
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lz4net_tpu.constants import maximum_output_length
 from lz4net_tpu.models import reference as R
 

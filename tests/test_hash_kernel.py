@@ -10,6 +10,8 @@ chunk-internal exact 8-byte, 8-byte table, chunk-internal exact u32,
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 

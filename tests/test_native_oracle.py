@@ -14,8 +14,9 @@ import pytest
 from lz4net_tpu.models import native as N
 from lz4net_tpu.models import reference as R
 
-pytestmark = pytest.mark.skipif(not N.is_available(),
-                                reason="native library unavailable")
+pytestmark = [pytest.mark.quick,
+              pytest.mark.skipif(not N.is_available(),
+                                reason="native library unavailable")]
 
 
 def _mixed(size: int, seed: int = 0) -> bytes:

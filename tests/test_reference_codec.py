@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lz4net_tpu.models import reference as R
 
 CASES = [

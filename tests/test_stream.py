@@ -4,6 +4,8 @@ import io
 
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lz4net_tpu import LZ4Stream, LZ4StreamFlags, LZ4StreamMode
 from lz4net_tpu.stream import (
     compress_stream,

@@ -7,6 +7,10 @@ as any chunk is available (a blocking full-count read would deadlock on
 the stalled connection).
 """
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import socket
 import threading
 import time

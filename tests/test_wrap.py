@@ -4,6 +4,8 @@ import struct
 
 import pytest
 
+pytestmark = pytest.mark.quick
+
 import lz4net_tpu as lz4
 
 
