@@ -102,6 +102,15 @@ def _cmd_continuous(args) -> int:
     return 0
 
 
+def _cmd_select(args) -> int:
+    from . import codec, registry
+    orders = registry.measure_preferences()
+    print(json.dumps({"orders": {k: list(v) for k, v in orders.items()},
+                      "codec_name": codec.codec_name(),
+                      "cache": registry._select_cache_path()}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="lz4net_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -131,6 +140,12 @@ def main(argv=None) -> int:
     p.add_argument("--mb", type=int, default=64)
     p.add_argument("--out", default="continuous_results.json")
     p.set_defaults(fn=_cmd_continuous)
+
+    p = sub.add_parser(
+        "select", help="time every engine per role on this host and "
+        "persist measured SelectCodec orders (the reference's orders "
+        "are benchmark-derived; this runs the benchmark here)")
+    p.set_defaults(fn=_cmd_select)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -52,10 +52,15 @@ the reference on the silesia-like corpus).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .records_kernel import _cdiv, _interpret, _take_lane
 
 LANE = 128
 CROWS = 2                  # chunk = CROWS x 128 positions
@@ -108,13 +113,8 @@ def _scatter_last(table_fields, h, is_last, fields_bits, B, ar):
     return [jnp.where(upd, n, o) for n, o in zip(out, table_fields)]
 
 
-def bucket_prev_impl(wa, wb, h4, h8, D: int):
-    """prev[b, i] = two-tier hash-table candidate for position i (see
-    module docstring), else -1.  Every candidate's u32 is verified.
-
-    wa/wb: [B, D] int32 u32 words at i and i+4; h4/h8: [B, D] int32
-    bucket ids (see ``hash_bucket``/``hash_bucket8``); D % 256 == 0.
-    """
+def _bucket_prev_scan(wa, wb, h4, h8, D: int):
+    """XLA-scan implementation (CPU / test path; see bucket_prev_impl)."""
     B = wa.shape[0]
     nch = D // CHUNK
 
@@ -182,6 +182,227 @@ def bucket_prev_impl(wa, wb, h4, h8, D: int):
     (_, _, _, _, _), prevs = jax.lax.scan(
         step, (z, z, z, z, cbase0), xs)
     return jnp.moveaxis(prevs, 0, 1).reshape(B, D)
+
+
+# ---- Mosaic kernel (silicon path) ---------------------------------------
+# Identical semantics to _bucket_prev_scan, but the whole chunk loop
+# runs INSIDE one Pallas kernel per block: the XLA scan emits ~20
+# fusions per step and 288 steps per 64 KB block, and the measured
+# launch overhead alone put device encode at 0.0048 GB/s.  Sub-patterns
+# are the proven kernel forms: plane-matmul transposes (emit kernel),
+# select-loop probes (resolver), factored one-hot matmul scatters.
+
+
+def _tpose(x, bits):
+    """Exact transpose of ``x [A, B]`` int32 (A, B <= 128) via 8-bit
+    plane identity matmuls (f32 MXU rounds through bf16 on silicon, so
+    int32 must move in exact <= 8-bit planes)."""
+    A = x.shape[0]
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
+             ).astype(jnp.bfloat16)
+    out = None
+    for p in range(_cdiv(bits, 8)):
+        plane = ((x >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+        r = jax.lax.dot_general(
+            plane, ident, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        out = r << (8 * p) if out is None else out | (r << (8 * p))
+    return out
+
+
+def _probe(tpos, twa, h, wa):
+    """Select-loop table probe: (candidate pos+1, u32-verified)."""
+    hrow = h >> 7
+    hlane = h & (LANE - 1)
+    tp = jnp.zeros((CROWS, LANE), jnp.int32)
+    tw = jnp.zeros((CROWS, LANE), jnp.int32)
+    for r in range(NBROWS):
+        sel = hrow == r
+        tp = jnp.where(sel, _take_lane(
+            jnp.broadcast_to(tpos[r:r + 1, :], (CROWS, LANE)), hlane), tp)
+        tw = jnp.where(sel, _take_lane(
+            jnp.broadcast_to(twa[r:r + 1, :], (CROWS, LANE)), hlane), tw)
+    return tp, (tp > 0) & (tw == wa)
+
+
+def _hash_kernel(D, pos_planes, *refs):
+    (wa_ref, wb_ref, h4_ref, h8_ref, prev_ref) = refs
+    nch = D // CHUNK
+    # tools/probe_hash.py: strip phases to attribute on-chip cost
+    _strip = os.environ.get("LZ4NET_HASH_PROBE", "")
+    parts = {"ap", "probe", "update"}
+    if _strip == "empty":
+        parts = set()
+    elif _strip.startswith("no"):
+        parts.discard(_strip[2:])
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (CROWS, LANE), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CROWS, LANE), 0)
+    pos_rel = row_i * LANE + lane_i                       # 0..CHUNK-1
+    sub_col = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    bucket_r = jax.lax.broadcasted_iota(jnp.int32, (NBROWS, LANE), 0)
+
+    def update(acc_fields, h, is_last, fields_bits):
+        """Factored one-hot MXU scatter of this chunk's last-per-bucket
+        entries into the [NBROWS, LANE] tables; exact because
+        ``is_last`` leaves at most one contributor per bucket."""
+        hrow = h >> 7
+        hlane = h & (LANE - 1)
+        out = [jnp.zeros((NBROWS, LANE), jnp.int32) for _ in acc_fields]
+        for g in range(CROWS):
+            mrow = is_last[g:g + 1, :] > 0                # [1, 128]
+            a = ((jnp.broadcast_to(hrow[g:g + 1, :], (NBROWS, LANE))
+                  == bucket_r)
+                 & jnp.broadcast_to(mrow, (NBROWS, LANE))
+                 ).astype(jnp.bfloat16)
+            # OHl[l, i] = contributor i lands in table lane l
+            ohl = ((jnp.broadcast_to(hlane[g:g + 1, :], (LANE, LANE))
+                    == sub_col)
+                   & jnp.broadcast_to(mrow, (LANE, LANE))
+                   ).astype(jnp.bfloat16)
+            for fi, (field, bits) in enumerate(fields_bits):
+                got = jnp.zeros((NBROWS, LANE), jnp.int32)
+                for p in range(_cdiv(bits, 8)):
+                    plane = ((field[g:g + 1, :] >> (8 * p)) & 0xFF
+                             ).astype(jnp.bfloat16)
+                    ap = a * jnp.broadcast_to(plane, (NBROWS, LANE))
+                    r = jax.lax.dot_general(
+                        ap, ohl,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)
+                    got = got | ((r & 0xFF) << (8 * p))
+                out[fi] = out[fi] | got
+        upd = out[0] > 0                  # field 0 is pos+1: 0 = empty
+        return [jnp.where(upd, n, o) for n, o in zip(out, acc_fields)]
+
+    def chunk_body(c, carry):
+        t4p, t4w, t8p, t8w = carry
+        base = c * CROWS
+        wa = wa_ref[0, pl.ds(base, CROWS), :]             # [2,128]
+        wb = wb_ref[0, pl.ds(base, CROWS), :]
+        h4 = h4_ref[0, pl.ds(base, CROWS), :]
+        h8 = h8_ref[0, pl.ds(base, CROWS), :]
+
+        if "ap" not in parts:              # probe-tool stripped variant
+            m4r = m8r = jnp.full((CROWS, LANE), -1, jnp.int32)
+            il4 = il8 = jnp.ones((CROWS, LANE), jnp.int32)
+            return _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8)
+
+        # ---- chunk-internal arms: queries as columns, sources as rows
+        waT = _tpose(wa, 32)
+        wbT = _tpose(wb, 32)
+        h4T = _tpose(h4, 16)
+        h8T = _tpose(h8, 16)
+        m4 = []                 # nearest same-u32 pos (exact bytes)
+        m8 = []                 # nearest same-8-byte pos (exact bytes)
+        # int32 0/1 masks: Mosaic rejects sublane-concatenated i1
+        # vregs ("Invalid vector register cast" on bitcast_vreg i1->i32)
+        hl4 = [jnp.zeros((1, LANE), jnp.int32) for _ in range(CROWS)]
+        hl8 = [jnp.zeros((1, LANE), jnp.int32) for _ in range(CROWS)]
+        for qr in range(CROWS):
+            qpos = qr * LANE + sub_col                    # [128, 1]
+            m4q = jnp.full((LANE, 1), -1, jnp.int32)
+            m8q = jnp.full((LANE, 1), -1, jnp.int32)
+            for sr in range(CROWS):
+                spos = sr * LANE + lane_row               # [1, 128]
+                eqwa = waT[:, qr:qr + 1] == wa[sr:sr + 1, :]
+                eqwb = wbT[:, qr:qr + 1] == wb[sr:sr + 1, :]
+                eq4 = h4T[:, qr:qr + 1] == h4[sr:sr + 1, :]
+                eq8 = h8T[:, qr:qr + 1] == h8[sr:sr + 1, :]
+                lt = jnp.broadcast_to(spos, (LANE, LANE)) < qpos
+                gt = jnp.broadcast_to(qpos, (LANE, LANE)) > spos
+                m4q = jnp.maximum(m4q, jnp.max(
+                    jnp.where(eqwa & lt, spos, -1),
+                    axis=1, keepdims=True))
+                m8q = jnp.maximum(m8q, jnp.max(
+                    jnp.where(eqwa & eqwb & lt, spos, -1),
+                    axis=1, keepdims=True))
+                # has_later[s] = any q > s with the same bucket (reduce
+                # over the query/sublane axis) — the is_last inputs
+                hl4[sr] = jnp.maximum(hl4[sr], jnp.max(
+                    jnp.where(eq4 & gt, 1, 0), axis=0, keepdims=True))
+                hl8[sr] = jnp.maximum(hl8[sr], jnp.max(
+                    jnp.where(eq8 & gt, 1, 0), axis=0, keepdims=True))
+            m4.append(m4q)
+            m8.append(m8q)
+        m4r = _tpose(jnp.concatenate(m4, axis=1) + 1, 16) - 1
+        m8r = _tpose(jnp.concatenate(m8, axis=1) + 1, 16) - 1
+        il4 = 1 - jnp.concatenate(hl4, axis=0)            # [CROWS, 128]
+        il8 = 1 - jnp.concatenate(hl8, axis=0)
+        return _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8)
+
+    def _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8):
+        t4p, t4w, t8p, t8w = carry
+        base = c * CROWS
+        # ---- table probes (before update)
+        if "probe" in parts:
+            t4c, t4ok = _probe(t4p, t4w, h4, wa)
+            t8c, t8ok = _probe(t8p, t8w, h8, wa)
+        else:
+            t4c = t8c = jnp.zeros((CROWS, LANE), jnp.int32)
+            t4ok = t8ok = t4c > 0
+
+        prev = jnp.where(
+            m8r >= 0, c * CHUNK + m8r,
+            jnp.where(t8ok, t8c - 1,
+                      jnp.where(m4r >= 0, c * CHUNK + m4r,
+                                jnp.where(t4ok, t4c - 1, -1))))
+        prev_ref[0, pl.ds(base, CROWS), :] = prev
+
+        # ---- table updates
+        if "update" in parts:
+            val_pos = c * CHUNK + pos_rel + 1
+            t4p, t4w = update([t4p, t4w], h4, il4,
+                              [(val_pos, 8 * pos_planes), (wa, 32)])
+            t8p, t8w = update([t8p, t8w], h8, il8,
+                              [(val_pos, 8 * pos_planes), (wa, 32)])
+        return t4p, t4w, t8p, t8w
+
+    z = jnp.zeros((NBROWS, LANE), jnp.int32)
+    jax.lax.fori_loop(0, nch, chunk_body, (z, z, z, z))
+
+
+def _bucket_prev_pallas(wa, wb, h4, h8, D: int):
+    B = wa.shape[0]
+    R = D // LANE
+    pos_planes = _cdiv(max((D + 1).bit_length(), 8), 8)
+    kern = functools.partial(_hash_kernel, D, pos_planes)
+    spec = pl.BlockSpec((1, R, LANE), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    prev = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+        grid=(B,),
+        in_specs=[spec] * 4,
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(wa.reshape(B, R, LANE), wb.reshape(B, R, LANE),
+      h4.reshape(B, R, LANE), h8.reshape(B, R, LANE))
+    return prev.reshape(B, D)
+
+
+def bucket_prev_impl(wa, wb, h4, h8, D: int):
+    """prev[b, i] = two-tier hash-table candidate for position i (see
+    module docstring), else -1.  Every candidate's u32 is verified.
+
+    wa/wb: [B, D] int32 u32 words at i and i+4; h4/h8: [B, D] int32
+    bucket ids (see ``hash_bucket``/``hash_bucket8``); D % 256 == 0.
+
+    Dispatch: the Mosaic kernel on real TPU (one launch per batch); the
+    semantically identical XLA scan on CPU, where Mosaic is unavailable
+    and interpret-mode per-chunk dispatch would crawl.  Override with
+    LZ4NET_HASH_IMPL=scan|pallas.  Cross-implementation agreement is
+    asserted by tools/certify.py on silicon.
+    """
+    impl = os.environ.get("LZ4NET_HASH_IMPL")
+    if impl == "scan" or (impl != "pallas" and _interpret()):
+        return _bucket_prev_scan(wa, wb, h4, h8, D)
+    return _bucket_prev_pallas(wa, wb, h4, h8, D)
 
 
 bucket_prev = functools.partial(jax.jit, static_argnames=("D",))(

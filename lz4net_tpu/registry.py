@@ -172,6 +172,116 @@ def _select(preference: tuple[str, ...]) -> Optional[Lz4Service]:
     return None
 
 
+# ---- measured selection -------------------------------------------------
+# The reference's SelectCodec orders are benchmark-derived (hard-coded
+# from offline runs, `LZ4Codec.cs:103-167`).  Here the benchmark can run
+# on the deployed host itself: `measure_preferences()` times every
+# registered engine per role on a standard workload and persists the
+# winning order, which `initialize()` then uses instead of the static
+# guess.  Measurement is explicit (or LZ4NET_TIMED_SELECT=1) because the
+# TPU engine's first call compiles for minutes on a cold cache — the
+# same reason the reference measured offline.
+
+_SELECT_CACHE_ENV = "LZ4NET_SELECT_CACHE"
+
+
+def _select_cache_path() -> str:
+    import os
+    base = os.environ.get(_SELECT_CACHE_ENV) or os.path.join(
+        os.path.expanduser("~"), ".cache", "lz4net_tpu")
+    return os.path.join(base, "selectcodec.json")
+
+
+def _select_cache_key() -> str:
+    return "tpu" if _on_tpu() else "cpu"
+
+
+def _bench_role(svc: Lz4Service, role: str, blocks, packed) -> float:
+    """Best-of-3 wall time for one engine on one role's workload."""
+    import time
+    from .constants import maximum_output_length as mol
+
+    def run() -> None:
+        if role == "decode":
+            for p, b in zip(packed, blocks):
+                svc.decode(p, len(b))
+        elif role == "encode":
+            for b in blocks:
+                svc.encode(b, mol(len(b)))
+        else:
+            for b in blocks:
+                svc.encode_hc(b, mol(len(b)))
+
+    run()                                   # warm-up (jit compile etc.)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_preferences(block_kb: int = 64, n_blocks: int = 4,
+                        persist: bool = True) -> dict[str, tuple[str, ...]]:
+    """Time every registered engine per role and return (and persist)
+    measured preference orders.  Engines that fail or hang are ranked
+    last (timeout = the AutoTest guard)."""
+    import concurrent.futures
+    import json
+    import os
+
+    initialize()
+    from .utils import corpus
+    data = corpus.silesia_like(block_kb * 1024 * n_blocks, seed=7)
+    blocks = corpus.split_blocks(data, block_kb * 1024)
+    base = _registry.services.get("native") \
+        or _registry.services["python-reference"]
+    packed = [base.encode(b, maximum_output_length(len(b)))
+              for b in blocks]
+
+    timeout_s = float(os.environ.get("LZ4NET_AUTOTEST_TIMEOUT", "600"))
+    orders: dict[str, tuple[str, ...]] = {}
+    for role in ("encode", "decode", "encode_hc"):
+        timed = []
+        for name, svc in _registry.services.items():
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            try:
+                dt = pool.submit(_bench_role, svc, role, blocks,
+                                 packed).result(timeout=timeout_s)
+            except Exception:  # noqa: BLE001 - rank failures last
+                dt = float("inf")
+                _log.warning("timed select: %s failed on %s", name, role)
+            finally:
+                pool.shutdown(wait=False)
+            timed.append((dt, name))
+        timed.sort()
+        orders[role] = tuple(n for _, n in timed)
+        _log.info("timed select %s: %s", role,
+                  [(n, f"{t * 1e3:.1f}ms") for t, n in timed])
+    if persist:
+        path = _select_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            cache = json.load(open(path))
+        except Exception:  # noqa: BLE001
+            cache = {}
+        cache[_select_cache_key()] = {k: list(v) for k, v in orders.items()}
+        json.dump(cache, open(path, "w"))
+    initialize(force=True)                  # re-select with the new data
+    return orders
+
+
+def _measured_preferences() -> Optional[dict[str, tuple[str, ...]]]:
+    """Measured orders persisted by `measure_preferences`, if any."""
+    import json
+    try:
+        cache = json.load(open(_select_cache_path()))
+        got = cache[_select_cache_key()]
+        return {k: tuple(v) for k, v in got.items()}
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def initialize(force: bool = False) -> None:
     """Probe every engine and select encoder/decoder/encoderHC.
 
@@ -192,6 +302,10 @@ def initialize(force: bool = False) -> None:
         _try(_probe_python)
 
     prefs = _preferences()
+    if os.environ.get("LZ4NET_TIMED_SELECT", "1") != "0":
+        measured = _measured_preferences()
+        if measured:
+            prefs = {**prefs, **measured}
     _registry.encoder = _select(prefs["encode"])
     _registry.decoder = _select(prefs["decode"])
     _registry.encoder_hc = _select(prefs["encode_hc"])

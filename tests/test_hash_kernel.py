@@ -105,3 +105,25 @@ def test_bucket_prev_batched_blocks_independent():
         want = _oracle(wa[b], wb[b], np.asarray(h4)[b].astype(np.int64),
                        np.asarray(h8)[b].astype(np.int64))
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_pallas_impl_matches_scan_impl():
+    """The Mosaic kernel (interpret here; silicon via tools/certify.py)
+    and the XLA scan must agree bit-for-bit."""
+    from lz4net_tpu.ops.hash_kernel import (_bucket_prev_pallas,
+                                            _bucket_prev_scan)
+    D = 2048
+    for seed, kind in ((0, "silesia"), (2, "runs")):
+        rng = np.random.default_rng(seed)
+        if kind == "silesia":
+            data = np.frombuffer(corpus.silesia_like(D, seed=seed),
+                                 np.uint8)
+        else:
+            data = np.repeat(rng.integers(0, 7, D // 16,
+                                          dtype=np.uint8), 16)
+        wa = jnp.asarray(_u32_np(data).astype(np.int32)[None, :])
+        wb = jnp.asarray(_u32_np(data, 4).astype(np.int32)[None, :])
+        h4, h8 = hash_bucket(wa), hash_bucket8(wa, wb)
+        a = np.asarray(_bucket_prev_pallas(wa, wb, h4, h8, D))
+        b = np.asarray(_bucket_prev_scan(wa, wb, h4, h8, D))
+        np.testing.assert_array_equal(a, b)

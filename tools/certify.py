@@ -119,6 +119,23 @@ def main():
         for i, b in enumerate(sub):
             x[i, :len(b)] = np.frombuffer(b, np.uint8)
             dl[i] = len(b)
+        # hash-kernel A/B: the Mosaic kernel must agree bit-for-bit
+        # with the XLA scan ON SILICON (interpret tests can't see
+        # Mosaic divergence)
+        from lz4net_tpu.ops.hash_kernel import (_bucket_prev_pallas,
+                                                _bucket_prev_scan,
+                                                hash_bucket, hash_bucket8)
+        from lz4net_tpu.ops.encode_vector import _u32
+        xj = jnp.asarray(x)
+        wa = _u32(xj)
+        wb = jnp.concatenate([wa[:, 4:], jnp.zeros_like(wa[:, :4])],
+                             axis=1)
+        h4, h8 = hash_bucket(wa), hash_bucket8(wa, wb)
+        pv = np.asarray(_bucket_prev_pallas(wa, wb, h4, h8, D))
+        sv = np.asarray(_bucket_prev_scan(wa, wb, h4, h8, D))
+        report("encode.hashkernel", (pv == sv).all(),
+               f"{(pv == sv).mean():.6f} agree")
+
         for lvl, name in ((0, "encode.fast"), (9, "encode.hc")):
             out, out_len, ok, _aux = encode_batch_vectorized(
                 jnp.asarray(x), jnp.asarray(dl), D, O, S_cap,
