@@ -271,6 +271,16 @@ def compact_indices(mask, cap: int, big: int):
     but here the domain is the full comp axis so a plain branchless
     lower bound is simplest).  Returns [B, cap] int32, padded with
     ``big`` past the population count."""
+    import os
+    if os.environ.get("LZ4NET_COMPACT", "sort") != "bsearch":
+        # DEFAULT: the sort path.  On v5e the descent's 18 rounds of
+        # [B, cap] take_along_axis into a [B, 64K+] cumsum measured a
+        # ~100 ms/MB REGRESSION vs lax.sort across the encoder's three
+        # call sites (tools/probe_encode.py A/B) — XLA's generic gather
+        # at that table size is far off the lane-shuffle fast path this
+        # function was designed around.  Kept for small-table callers
+        # and future in-kernel use; opt in with LZ4NET_COMPACT=bsearch.
+        return sorted_compact(mask, cap, big)
     B, N = mask.shape
     cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)         # [B, N]
     target = jnp.arange(cap, dtype=jnp.int32)[None, :] + 1   # k+1

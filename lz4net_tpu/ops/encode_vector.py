@@ -255,6 +255,14 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     # and _match_lengths runs once per HC candidate tier).
     sub = slice(None, None, sub_step)
     sub_far = far[:, sub]
+    import os as _os
+    if _os.environ.get("LZ4NET_TOPOFF") == "hist":   # A/B bisection
+        hist = scatter_add_planes(
+            jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
+            sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
+        _, dks = jax.lax.top_k(hist, top_offsets)
+        return _top_off_exact(x, i, far, off, mlen, matched, dks,
+                              top_offsets, end_abs, blk_len)
     subv = jnp.where(sub_far, off[:, sub], 0)
     sv = jax.lax.sort(subv, dimension=-1)
     K = sv.shape[-1]
@@ -271,6 +279,16 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     _, ti = jax.lax.top_k(cnt, top_offsets)
     dks = jnp.take_along_axis(sv, ti, axis=-1)
     dks = dks * (jnp.take_along_axis(cnt, ti, axis=-1) > 0)
+    return _top_off_exact(x, i, far, off, mlen, matched, dks,
+                          top_offsets, end_abs, blk_len)
+
+
+def _top_off_exact(x, i, far, off, mlen, matched, dks, top_offsets,
+                   end_abs, blk_len):
+    """Exact unbounded lengths for the dominant offsets, then the format
+    end rules (`lz4_format_description.txt:93-104`: no match covering
+    the last 5 bytes, none starting < 12 bytes before the end, blocks
+    < 13 bytes all-literal)."""
     for t in range(top_offsets):
         dk = dks[:, t]
         rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(x, dk)
@@ -278,9 +296,6 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
         run = _run_lengths(eq)
         mlen = jnp.where(far & (off == dk[:, None]), run, mlen)
 
-    # format end rules: a match may not cover the last 5 bytes and must
-    # start >= 12 bytes before the end; short blocks are all literals
-    # (`lz4_format_description.txt:93-104`)
     limit = end_abs[:, None] - LASTLITERALS - i[None, :]
     mlen = jnp.minimum(mlen, jnp.maximum(limit, 0))
     matched = matched & (mlen >= MINMATCH) \

@@ -227,7 +227,8 @@ def _probe(tpos, twa, h, wa):
 
 
 def _hash_kernel(D, pos_planes, *refs):
-    (wa_ref, wb_ref, h4_ref, h8_ref, prev_ref) = refs
+    (wa_ref, wb_ref, h4_ref, h8_ref, prev_ref,
+     t4p_scr, t4w_scr, t8p_scr, t8w_scr) = refs
     nch = D // CHUNK
     # tools/probe_hash.py: strip phases to attribute on-chip cost
     _strip = os.environ.get("LZ4NET_HASH_PROBE", "")
@@ -278,18 +279,20 @@ def _hash_kernel(D, pos_planes, *refs):
         upd = out[0] > 0                  # field 0 is pos+1: 0 = empty
         return [jnp.where(upd, n, o) for n, o in zip(out, acc_fields)]
 
-    def chunk_body(c, carry):
-        t4p, t4w, t8p, t8w = carry
-        base = c * CROWS
-        wa = wa_ref[0, pl.ds(base, CROWS), :]             # [2,128]
-        wb = wb_ref[0, pl.ds(base, CROWS), :]
-        h4 = h4_ref[0, pl.ds(base, CROWS), :]
-        h8 = h8_ref[0, pl.ds(base, CROWS), :]
+    def chunk_body(c, _):
+        # tables live in SCRATCH refs, not loop carries: carrying four
+        # [64,128] arrays as fori_loop values measured ~6 us/iteration
+        # of pure overhead (28 ms/MB for an EMPTY loop —
+        # tools/probe_hash.py); chunk c is its own aligned tile
+        wa = wa_ref[0, c]                                 # [2,128]
+        wb = wb_ref[0, c]
+        h4 = h4_ref[0, c]
+        h8 = h8_ref[0, c]
 
         if "ap" not in parts:              # probe-tool stripped variant
             m4r = m8r = jnp.full((CROWS, LANE), -1, jnp.int32)
             il4 = il8 = jnp.ones((CROWS, LANE), jnp.int32)
-            return _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8)
+            return _tail(c, wa, h4, h8, m4r, m8r, il4, il8)
 
         # ---- chunk-internal arms: queries as columns, sources as rows
         waT = _tpose(wa, 32)
@@ -332,11 +335,11 @@ def _hash_kernel(D, pos_planes, *refs):
         m8r = _tpose(jnp.concatenate(m8, axis=1) + 1, 16) - 1
         il4 = 1 - jnp.concatenate(hl4, axis=0)            # [CROWS, 128]
         il8 = 1 - jnp.concatenate(hl8, axis=0)
-        return _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8)
+        return _tail(c, wa, h4, h8, m4r, m8r, il4, il8)
 
-    def _tail(c, carry, wa, h4, h8, m4r, m8r, il4, il8):
-        t4p, t4w, t8p, t8w = carry
-        base = c * CROWS
+    def _tail(c, wa, h4, h8, m4r, m8r, il4, il8):
+        t4p, t4w = t4p_scr[:, :], t4w_scr[:, :]
+        t8p, t8w = t8p_scr[:, :], t8w_scr[:, :]
         # ---- table probes (before update)
         if "probe" in parts:
             t4c, t4ok = _probe(t4p, t4w, h4, wa)
@@ -350,39 +353,47 @@ def _hash_kernel(D, pos_planes, *refs):
             jnp.where(t8ok, t8c - 1,
                       jnp.where(m4r >= 0, c * CHUNK + m4r,
                                 jnp.where(t4ok, t4c - 1, -1))))
-        prev_ref[0, pl.ds(base, CROWS), :] = prev
+        prev_ref[0, c] = prev
 
         # ---- table updates
         if "update" in parts:
             val_pos = c * CHUNK + pos_rel + 1
-            t4p, t4w = update([t4p, t4w], h4, il4,
+            n4p, n4w = update([t4p, t4w], h4, il4,
                               [(val_pos, 8 * pos_planes), (wa, 32)])
-            t8p, t8w = update([t8p, t8w], h8, il8,
+            n8p, n8w = update([t8p, t8w], h8, il8,
                               [(val_pos, 8 * pos_planes), (wa, 32)])
-        return t4p, t4w, t8p, t8w
+            t4p_scr[:, :] = n4p
+            t4w_scr[:, :] = n4w
+            t8p_scr[:, :] = n8p
+            t8w_scr[:, :] = n8w
+        return 0
 
-    z = jnp.zeros((NBROWS, LANE), jnp.int32)
-    jax.lax.fori_loop(0, nch, chunk_body, (z, z, z, z))
+    t4p_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
+    t4w_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
+    t8p_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
+    t8w_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
+    jax.lax.fori_loop(0, nch, chunk_body, 0)
 
 
 def _bucket_prev_pallas(wa, wb, h4, h8, D: int):
     B = wa.shape[0]
-    R = D // LANE
+    nch = D // CHUNK
     pos_planes = _cdiv(max((D + 1).bit_length(), 8), 8)
     kern = functools.partial(_hash_kernel, D, pos_planes)
-    spec = pl.BlockSpec((1, R, LANE), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((1, nch, CROWS, LANE), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     prev = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, nch, CROWS, LANE), jnp.int32),
         grid=(B,),
         in_specs=[spec] * 4,
         out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((NBROWS, LANE), jnp.int32)] * 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(wa.reshape(B, R, LANE), wb.reshape(B, R, LANE),
-      h4.reshape(B, R, LANE), h8.reshape(B, R, LANE))
+    )(wa.reshape(B, nch, CROWS, LANE), wb.reshape(B, nch, CROWS, LANE),
+      h4.reshape(B, nch, CROWS, LANE), h8.reshape(B, nch, CROWS, LANE))
     return prev.reshape(B, D)
 
 

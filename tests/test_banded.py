@@ -110,8 +110,9 @@ def test_sorted_compact():
         np.testing.assert_array_equal(got[b], exp)
 
 
-def test_compact_indices_matches_sorted_compact():
-    import numpy as np
+def test_compact_indices_matches_sorted_compact(monkeypatch):
+    monkeypatch.setenv("LZ4NET_COMPACT", "bsearch")   # exercise the
+    import numpy as np                                # non-delegating path
     import jax.numpy as jnp
     from lz4net_tpu.ops.banded import compact_indices, sorted_compact
     rng = np.random.default_rng(3)

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Dispatch-differenced end-to-end device-encode timing (one batch).
+
+Usage: PYTHONPATH=.:.../.axon_site python tools/probe_encode.py [hc]
+Env: LZ4NET_FUSED / LZ4NET_HASH_IMPL forwarded to the pipeline.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lz4net_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lz4net_tpu.constants import MINMATCH, maximum_output_length
+    from lz4net_tpu.ops.decode_vector import CH, LANE, _cdiv, _use_fused
+    from lz4net_tpu.ops.encode_vector import encode_batch_vectorized
+    from lz4net_tpu.utils import corpus
+
+    hc = 9 if "hc" in sys.argv[1:] else 0
+    B, size = 16, 65536
+    D = _cdiv(size + 1, CH) * CH
+    O = _cdiv(maximum_output_length(D) + 1, CH) * CH
+    S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
+    data = corpus.silesia_like(B * size, seed=42)
+    x = np.zeros((B, D), np.int32)
+    dl = np.full((B,), size, np.int32)
+    for i in range(B):
+        x[i, :size] = np.frombuffer(data[i * size:(i + 1) * size],
+                                    np.uint8)
+    xd = jax.device_put(jnp.asarray(x))
+    dld = jax.device_put(jnp.asarray(dl))
+    fused = _use_fused()
+
+    def call():
+        return encode_batch_vectorized(xd, dld, D, O, S_cap,
+                                       hc_level=hc, fused=fused)
+
+    out, ol, ok, _ = call()
+    assert bool(np.asarray(ok).all()), "encode flagged blocks"
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _o, ol, _k, _a = call()
+        np.asarray(ol)
+        return time.perf_counter() - t0
+
+    run(1)
+    dt = (run(12) - run(2)) / 10
+    mb = B * size / 1e6
+    print(f"e2e hc={hc} fused={fused}: {dt * 1e3:8.2f} ms/batch "
+          f"({mb / dt / 1e3:.4f} GB/s)", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,13 +48,20 @@ def main():
     for var in variants:
         os.environ["LZ4NET_HASH_PROBE"] = "" if var == "full" else var
         fn = jax.jit(lambda a, b, c, d: hk._bucket_prev_pallas(
-            a, b, c, d, D))
-        r = np.asarray(fn(wa, wb, h4, h8))      # compile + run
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = fn(wa, wb, h4, h8)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / 3
+            a, b, c, d, D)[:, :1])
+        r = np.asarray(jax.jit(lambda a, b, c, d: hk._bucket_prev_pallas(
+            a, b, c, d, D))(wa, wb, h4, h8))    # compile + run
+        fn(wa, wb, h4, h8)
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(wa, wb, h4, h8)
+            np.asarray(out)                      # tiny fetch syncs
+            return time.perf_counter() - t0
+
+        run(1)
+        dt = (run(12) - run(2)) / 10             # dispatch-differenced
         mb = B * size / 1e6
         print(f"{var:10s} {dt * 1e3:8.2f} ms  {mb / dt / 1e3:.4f} GB/s"
               f"  (nonzero prev: {(r >= 0).mean():.3f})", flush=True)
