@@ -1,4 +1,4 @@
-"""Per-block hash-table candidate search (batched XLA scan).
+"""Per-block hash-table candidate search (batched Mosaic kernel).
 
 The reference's match finder is a hash table: ``HashTable[hash(u32 at
 position)] = most recent position``, probed then updated per position
@@ -6,47 +6,47 @@ position)] = most recent position``, probed then updated per position
 specialisation uses an 8192-bucket table, `HASH64K_LOG=13`,
 `src/LZ4ps/LZ4Codec.cs:63`).  Rounds 1-3 answered the same query with
 corpus-wide stable sorts (`encode_vector._prev_occurrence`) — exact but
-~2.8 ms per sort on chip, the dominant encode cost (PROFILE_r03.md).
+the dominant encode cost on chip (PROFILE_r03.md).
 
-This module reproduces the reference's data structure TPU-style, at two
-prefix widths (the sort pipeline's prev4/prev8 tiers: an 8-byte-prefix
-occurrence usually heads a longer match, worth preferring even when a
-4-byte occurrence is nearer).  For every position i it returns the
-first hit in priority order:
+This module reproduces the reference's structure TPU-style at two
+prefix widths (the prev4/prev8 sort tiers: an 8-byte-prefix occurrence
+usually heads a longer match, worth preferring even when a 4-byte
+occurrence is nearer).  Blocks are scanned in 512-position chunks; for
+every position i the result is the first hit of:
 
-    1. nearest j in [chunk_start(i), i) with 8 bytes equal
+    1. nearest j in i's near WINDOW with 8 bytes equal
     2. the 8-byte table's entry for bucket8(i), if its u32 matches
-    3. nearest j in [chunk_start(i), i) with u32[j] == u32[i]
+    3. nearest j in the window with u32[j] == u32[i]
     4. the 4-byte table's entry for bucket4(i), if its u32 matches
 
-else -1.  Both tables are 8 K-bucket and live in the carry of ONE
-`lax.scan` over 256-position chunks, batched over every block at once —
-XLA keeps the [B, 8192] tables on-chip across steps.  Per step:
+else -1.  The near window is i's 128-position row plus the previous row
+of the same chunk (128..256 positions of exact-match lookback); both 8
+K-bucket tables hold state as of the chunk start and are updated once
+per chunk with a COUNT-GUARDED sum-scatter: buckets hit exactly once in
+the chunk take the new (position+1, u32) entry, buckets hit more than
+once keep their old entry ("poison-keep-old").  A stale entry still
+verifies by content — LZ4 offsets cost 2 bytes at any distance, so a
+farther occurrence of the same bytes is as good as a near one; only
+genuinely divergent content loses, and the window arm covers the near
+field.  Every candidate's u32 is verified before being returned.
 
-* chunk-internal arms: [B, 256, 256] all-pairs equality on the actual
-  words (exact, so candidates are pre-verified);
-* table probes: one `take_along_axis` per table field;
-* table updates: factored one-hot einsums over exact 8-bit bf16 planes
-  (bucket row one-hot x bucket lane one-hot) — ``is_last``
-  (chunk-internal last occurrence per bucket) guarantees at most one
-  contributor per bucket, so the sum-scatter is exact.  Every entry
-  carries its position's u32, so table candidates are verified >= 4-byte
-  matches before being returned.  (Arm 2 may rarely be a 4-byte-only
-  match via a bucket8 collision; extension computes true lengths, so
-  only candidate quality is affected.)
+Three implementations share these exact semantics:
+  * `_bucket_prev_pallas` — ONE Mosaic kernel, grid over chunks, every
+    block batched per step (per-block grids measured ~6 us/step of pure
+    overhead and starve the VPU with [2,128] ops; see git history).
+    Tables persist in VMEM scratch across grid steps.
+  * `_bucket_prev_scan` — the same math as a `lax.scan` (CPU/test
+    path; on chip the scan's ~20 fusions x step sank encode to
+    0.0048 GB/s in launch overhead alone).
+  * the NumPy oracle in tests/test_hash_kernel.py.
+Cross-implementation agreement is asserted bit-for-bit on CPU (tests)
+and on silicon (tools/certify.py encode.hashkernel).
 
-A pure-XLA scan rather than a Pallas kernel by design: every op here is
-layout-friendly (broadcast compares, lane-local takes, plane matmuls),
-the scan carry already pins the tables to VMEM, and identical
-CPU-vs-TPU semantics remove the Mosaic-divergence risk class that cost
-rounds 1-2 (no mod-128 takes, no f32-matmul rounding — planes are bf16
-exact).
-
-Why chunked at all: the chunk-internal arms skip colliders with exact
-byte compares; this structure inserts EVERY position, so its collision
-stream is denser than the reference's skip-accelerated insert order (a
-strict single-slot per-position replay measured 0.15% WORSE ratio than
-the reference on the silesia-like corpus).
+Mosaic lessons encoded here: no i1 vreg concatenations; transposes as
+exact 8-bit-plane identity matmuls; compare tensors oriented so the
+LAST TWO dims are big ([B, 128, 128], sources on sublanes, queries on
+lanes) — a batch dim in the middle decomposes every op into tiny
+slices and measured 10x slower.
 """
 
 from __future__ import annotations
@@ -63,15 +63,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .records_kernel import _cdiv, _interpret, _take_lane
 
 LANE = 128
-CROWS = 2                  # chunk = CROWS x 128 positions
+CROWS = 4                  # chunk = CROWS x 128 positions
 CHUNK = CROWS * LANE
 NBROWS = 64                # 8192 buckets = the reference's 64K table
 NB = NBROWS * LANE
+MAXB = 32                  # kernel batch cap: B*CROWS <= 128
 # numpy scalars, NOT jnp: a module-level jnp scalar is a committed
-# device array; traces that close over it lift it to a runtime
-# parameter, and jax 0.9's pjit re-execution fastpath then drops such
-# params ("Execution supplied 2 buffers but compiled program expected
-# 4" once several static variants of the caller are compiled)
+# device array; traces closing over it get it lifted to a runtime
+# parameter, which jax 0.9's re-execution fastpath then drops
+# ("Execution supplied 2 buffers but compiled program expected 4")
 HASH_MUL = np.int32(-1640531535)         # 2654435761 as int32
 MIX8 = np.int32(-1262405129)             # odd mixer for the 8-byte key
 
@@ -87,74 +87,53 @@ def hash_bucket8(wa, wb):
     return hash_bucket(wa ^ (wb * MIX8))
 
 
-def _scatter_last(table_fields, h, is_last, fields_bits, B, ar):
-    """tables[b, bucket] <- field value of the chunk's last same-bucket
-    position.  Factored one-hot einsum per 8-bit plane; exact because
-    ``is_last`` leaves at most one contributor per bucket.  ``ar`` is a
-    TRACED arange (see bucket_prev_impl: large constant index tensors
-    must never appear in the jaxpr)."""
-    hrow = (h >> 7).astype(jnp.int32)
-    hlane = h & (LANE - 1)
-    a = ((hrow[:, None, :] == ar[None, :NBROWS, None])
-         & is_last[:, None, :]).astype(jnp.bfloat16)
-    ohl = ((hlane[:, :, None] == ar[None, None, :LANE])
-           & is_last[:, :, None]).astype(jnp.bfloat16)
-    out = []
-    for field, bits in fields_bits:
-        acc = jnp.zeros((B, NBROWS, LANE), jnp.int32)
-        for p in range(-(-bits // 8)):
-            plane = ((field >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
-            r = jnp.einsum("brc,bcl->brl", a * plane[:, None, :], ohl,
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.int32)
-            acc = acc | ((r & 0xFF) << (8 * p))
-        out.append(acc.reshape(B, NB))
-    upd = out[0] > 0                      # field 0 is pos+1: 0 = empty
-    return [jnp.where(upd, n, o) for n, o in zip(out, table_fields)]
-
+# ---------------------------------------------------------------- scan
 
 def _bucket_prev_scan(wa, wb, h4, h8, D: int):
-    """XLA-scan implementation (CPU / test path; see bucket_prev_impl)."""
+    """XLA-scan implementation (CPU/test path; semantics above)."""
     B = wa.shape[0]
     nch = D // CHUNK
 
     def chunked(x):
-        return jnp.moveaxis(x.reshape(B, nch, CHUNK), 1, 0)
+        return jnp.moveaxis(x.reshape(B, nch, CROWS, LANE), 1, 0)
 
     xs = tuple(chunked(v) for v in (wa, wb, h4, h8))
 
     def step(carry, xc):
         t4p, t4w, t8p, t8w, cbase = carry
-        wa_c, wb_c, h4_c, h8_c = xc
-        # TRACED arange: jnp index tensors built from static shapes are
-        # evaluated eagerly into jaxpr CONSTANTS; at [256, 256] sizes
-        # XLA lifts them to runtime buffers and jax's re-execution
-        # fastpath then under-supplies them ("Execution supplied 2
-        # buffers but compiled program expected 4").  Adding a traced
-        # zero keeps every index tensor a real HLO op.
-        ar = jnp.arange(CHUNK, dtype=jnp.int32) + (wa_c[0, :1] & 0)
-        q_i = ar[None, :, None]
-        s_i = ar[None, None, :]
-        lt = s_i < q_i
-        gt = q_i > s_i
+        wa_c, wb_c, h4_c, h8_c = xc               # [B, CROWS, LANE]
+        ar = jnp.arange(LANE, dtype=jnp.int32) + (wa_c[0, 0, :1] & 0)
 
-        # chunk-internal arms: exact all-pairs on the words
-        eqwa = wa_c[:, :, None] == wa_c[:, None, :]       # [B, q, s]
-        m4 = jnp.max(jnp.where(eqwa & lt, s_i, -1), axis=2)
-        eq8w = eqwa & (wb_c[:, :, None] == wb_c[:, None, :])
-        m8 = jnp.max(jnp.where(eq8w & lt, s_i, -1), axis=2)
-        eq4 = h4_c[:, :, None] == h4_c[:, None, :]
-        eq8 = h8_c[:, :, None] == h8_c[:, None, :]
-        il4 = ~jnp.any(eq4 & gt, axis=1)   # last of bucket in chunk
-        il8 = ~jnp.any(eq8 & gt, axis=1)
+        # near-window arms: row r sources = rows r and r-1
+        m4 = []
+        m8 = []
+        for r in range(CROWS):
+            m4r = jnp.full((B, LANE), -1, jnp.int32)
+            m8r = jnp.full((B, LANE), -1, jnp.int32)
+            for sr in ([r - 1] if r else []) + [r]:
+                eqa = wa_c[:, r, :, None] == wa_c[:, sr, None, :]
+                eqb = wb_c[:, r, :, None] == wb_c[:, sr, None, :]
+                spos = sr * LANE + ar[None, None, :]
+                if sr == r:
+                    eqa = eqa & (ar[None, :, None] > ar[None, None, :])
+                m4r = jnp.maximum(m4r, jnp.max(
+                    jnp.where(eqa, spos, -1), axis=2))
+                m8r = jnp.maximum(m8r, jnp.max(
+                    jnp.where(eqa & eqb, spos, -1), axis=2))
+            m4.append(m4r)
+            m8.append(m8r)
+        m4 = jnp.stack(m4, axis=1)                # [B, CROWS, LANE]
+        m8 = jnp.stack(m8, axis=1)
 
-        # table probes (pre-update state)
-        t4c = jnp.take_along_axis(t4p, h4_c, axis=-1)
-        t4ok = (t4c > 0) & (jnp.take_along_axis(t4w, h4_c, axis=-1)
-                            == wa_c)
-        t8c = jnp.take_along_axis(t8p, h8_c, axis=-1)
-        t8ok = (t8c > 0) & (jnp.take_along_axis(t8w, h8_c, axis=-1)
-                            == wa_c)
+        # table probes (pre-update)
+        def probe(tp, tw, h):
+            hf = h.reshape(B, CHUNK)
+            c = jnp.take_along_axis(tp, hf, axis=-1).reshape(h.shape)
+            w = jnp.take_along_axis(tw, hf, axis=-1).reshape(h.shape)
+            return c, (c > 0) & (w == wa_c)
+
+        t4c, t4ok = probe(t4p, t4w, h4_c)
+        t8c, t8ok = probe(t8p, t8w, h8_c)
 
         prev = jnp.where(
             m8 >= 0, cbase + m8,
@@ -162,74 +141,133 @@ def _bucket_prev_scan(wa, wb, h4, h8, D: int):
                       jnp.where(m4 >= 0, cbase + m4,
                                 jnp.where(t4ok, t4c - 1, -1))))
 
-        # table updates
-        val_pos = jnp.broadcast_to(
-            (cbase[:, None] + ar[None, :] + 1), (B, CHUNK))
-        pos_bits = (D + 1).bit_length()
-        t4p, t4w = _scatter_last(
-            [t4p, t4w], h4_c, il4,
-            [(val_pos, pos_bits), (wa_c, 32)], B, ar)
-        t8p, t8w = _scatter_last(
-            [t8p, t8w], h8_c, il8,
-            [(val_pos, pos_bits), (wa_c, 32)], B, ar)
+        # count-guarded table updates
+        val_pos = (cbase.reshape(1, 1, 1)
+                   + jax.lax.broadcasted_iota(
+                       jnp.int32, (B, CROWS, LANE), 1) * LANE
+                   + ar[None, None, :] + 1)
+
+        def upd(tp, tw, h):
+            # factored row x lane one-hots (a dense [B, CHUNK, 8192]
+            # one-hot is 64x bigger for nothing).  HIGHEST precision on
+            # every einsum: XLA TPU's default f32 matmul rounds through
+            # bf16 and quantised the summed positions to multiples of 8
+            # (caught by certify's pallas-vs-scan A/B, where the
+            # plane-decomposed Mosaic kernel was the CORRECT side)
+            hf = h.reshape(B, CHUNK)
+            rr = jnp.arange(NBROWS, dtype=jnp.int32) + (hf[0, :1] & 0)
+            ll = jnp.arange(LANE, dtype=jnp.int32) + (hf[0, :1] & 0)
+            A = ((hf >> 7)[:, :, None]
+                 == rr[None, None, :]).astype(jnp.float32)
+            O = ((hf & (LANE - 1))[:, :, None]
+                 == ll[None, None, :]).astype(jnp.float32)
+            cnt = jnp.einsum("bkr,bkl->brl", A, O, precision="highest").reshape(B, NB)
+            vp = val_pos.reshape(B, CHUNK)
+            sp = jnp.einsum("bkr,bkl->brl",
+                            A * vp.astype(jnp.float32)[:, :, None],
+                            O, precision="highest").reshape(B, NB)
+            sw_acc = jnp.zeros((B, NB), jnp.int32)
+            waf = wa_c.reshape(B, CHUNK)
+            for p in range(4):
+                plane = ((waf >> (8 * p)) & 0xFF).astype(jnp.float32)
+                sw_acc = sw_acc | ((jnp.einsum(
+                    "bkr,bkl->brl", A * plane[:, :, None],
+                    O, precision="highest").reshape(B, NB).astype(jnp.int32)
+                    & 0xFF) << (8 * p))
+            one = cnt == 1
+            return (jnp.where(one, sp.astype(jnp.int32), tp),
+                    jnp.where(one, sw_acc, tw))
+
+        t4p, t4w = upd(t4p, t4w, h4_c)
+        t8p, t8w = upd(t8p, t8w, h8_c)
         return (t4p, t4w, t8p, t8w, cbase + CHUNK), prev
 
-    # traced zero inits: a concrete [B, NB] zeros constant would be
-    # lifted to a runtime buffer and dropped by jax's re-execution
-    # fastpath (see ``ar`` note in step)
     z = jnp.broadcast_to(wa[:, :1] & 0, (B, NB))
     cbase0 = wa[0, :1] & 0
-    (_, _, _, _, _), prevs = jax.lax.scan(
-        step, (z, z, z, z, cbase0), xs)
+    _, prevs = jax.lax.scan(step, (z, z, z, z, cbase0), xs)
     return jnp.moveaxis(prevs, 0, 1).reshape(B, D)
 
 
-# ---- Mosaic kernel (silicon path) ---------------------------------------
-# Identical semantics to _bucket_prev_scan, but the whole chunk loop
-# runs INSIDE one Pallas kernel per block: the XLA scan emits ~20
-# fusions per step and 288 steps per 64 KB block, and the measured
-# launch overhead alone put device encode at 0.0048 GB/s.  Sub-patterns
-# are the proven kernel forms: plane-matmul transposes (emit kernel),
-# select-loop probes (resolver), factored one-hot matmul scatters.
+# -------------------------------------------------------------- pallas
 
-
-def _tpose(x, bits):
-    """Exact transpose of ``x [A, B]`` int32 (A, B <= 128) via 8-bit
-    plane identity matmuls (f32 MXU rounds through bf16 on silicon, so
-    int32 must move in exact <= 8-bit planes)."""
-    A = x.shape[0]
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
-             ).astype(jnp.bfloat16)
+def _tpose_perm(x, bits, perm_oh):
+    """Exact [A, L] -> [L, A] transpose with column reorder folded in:
+    out[l, j] = x[perm(j), l], via 8-bit-plane matmuls against the
+    one-hot ``perm_oh [A, A]`` (perm_oh[k, j] = 1 iff k == perm(j))."""
     out = None
     for p in range(_cdiv(bits, 8)):
         plane = ((x >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
         r = jax.lax.dot_general(
-            plane, ident, dimension_numbers=(((0,), (0,)), ((), ())),
+            plane, perm_oh, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
         out = r << (8 * p) if out is None else out | (r << (8 * p))
     return out
 
 
-def _probe(tpos, twa, h, wa):
-    """Select-loop table probe: (candidate pos+1, u32-verified)."""
-    hrow = h >> 7
-    hlane = h & (LANE - 1)
-    tp = jnp.zeros((CROWS, LANE), jnp.int32)
-    tw = jnp.zeros((CROWS, LANE), jnp.int32)
-    for r in range(NBROWS):
-        sel = hrow == r
-        tp = jnp.where(sel, _take_lane(
-            jnp.broadcast_to(tpos[r:r + 1, :], (CROWS, LANE)), hlane), tp)
-        tw = jnp.where(sel, _take_lane(
-            jnp.broadcast_to(twa[r:r + 1, :], (CROWS, LANE)), hlane), tw)
-    return tp, (tp > 0) & (tw == wa)
+def _arms(B, BR, wa, wb):
+    """Near-window arms: nearest exact 8-byte / u32 predecessor within
+    the query's row plus the previous row of the chunk.
+
+    Orientation matters enormously on Mosaic: sources ride SUBLANES
+    (as per-block transposed columns), queries ride LANES, so every
+    compare is [B, 128(s), 128(q)] — B full (128,128) tiles per op —
+    and the max-over-sources reduction lands the result directly in
+    row layout (no result transposes).  The first formulation put the
+    batch dim in the middle ([q, B, s]) and measured 22.8 ms/MB: each
+    op decomposed into 128 tiny [16,128] slices."""
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, 1), 1)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2)
+    wa_f = wa.reshape(BR, LANE)
+    wb_f = wb.reshape(BR, LANE)
+    waT = _tpose(wa_f, 32)                             # [LANE, BR]
+    wbT = _tpose(wb_f, 32)
+
+    def col(T, b, r):
+        # per-block source column [128(s), 1] at flat row b*CROWS+r
+        return T[:, b * CROWS + r:b * CROWS + r + 1]
+
+    def cols(T, r):
+        return jnp.stack([col(T, b, r) for b in range(B)], axis=0)
+
+    sa_cols = [cols(waT, r) for r in range(CROWS)]     # [B, 128, 1]
+    sb_cols = [cols(wbT, r) for r in range(CROWS)]
+    m4_rows = []
+    m8_rows = []
+    for qr in range(CROWS):
+        Qa = wa[:, qr, :][:, None, :]                  # [B, 1, 128]
+        Qb = wb[:, qr, :][:, None, :]
+        m4q = jnp.full((B, LANE), -1, jnp.int32)
+        m8q = jnp.full((B, LANE), -1, jnp.int32)
+        for sr in ([qr - 1] if qr else []) + [qr]:
+            eqa = sa_cols[sr] == Qa                    # [B, 128s, 128q]
+            eqb = sb_cols[sr] == Qb
+            if sr == qr:
+                eqa = eqa & (sub_s < lane_q)
+            spos = sr * LANE + jnp.broadcast_to(sub_s, eqa.shape)
+            m4q = jnp.maximum(m4q, jnp.max(
+                jnp.where(eqa, spos, -1), axis=1))
+            m8q = jnp.maximum(m8q, jnp.max(
+                jnp.where(eqa & eqb, spos, -1), axis=1))
+        m4_rows.append(m4q)                            # [B, 128] rows
+        m8_rows.append(m8q)
+    return m4_rows, m8_rows
 
 
-def _hash_kernel(D, pos_planes, *refs):
+def _tpose(x, bits):
+    """Exact [A, L] -> [L, A] transpose via 8-bit-plane identity
+    matmuls (f32 MXU matmuls round through bf16 on silicon)."""
+    A = x.shape[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
+           ).astype(jnp.bfloat16)
+    return _tpose_perm(x, bits, eye)
+
+
+def _hash_kernel(B, D, pos_planes, *refs):
     (wa_ref, wb_ref, h4_ref, h8_ref, prev_ref,
      t4p_scr, t4w_scr, t8p_scr, t8w_scr) = refs
-    nch = D // CHUNK
+    c = pl.program_id(0)
+    BR = B * CROWS
     # tools/probe_hash.py: strip phases to attribute on-chip cost
     _strip = os.environ.get("LZ4NET_HASH_PROBE", "")
     parts = {"ap", "probe", "update"}
@@ -238,163 +276,147 @@ def _hash_kernel(D, pos_planes, *refs):
     elif _strip.startswith("no"):
         parts.discard(_strip[2:])
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (CROWS, LANE), 1)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (CROWS, LANE), 0)
-    pos_rel = row_i * LANE + lane_i                       # 0..CHUNK-1
-    sub_col = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    bucket_r = jax.lax.broadcasted_iota(jnp.int32, (NBROWS, LANE), 0)
+    @pl.when(c == 0)
+    def _():
+        z = jnp.zeros((B, NBROWS, LANE), jnp.int32)
+        t4p_scr[:, :, :] = z
+        t4w_scr[:, :, :] = z
+        t8p_scr[:, :, :] = z
+        t8w_scr[:, :, :] = z
 
-    def update(acc_fields, h, is_last, fields_bits):
-        """Factored one-hot MXU scatter of this chunk's last-per-bucket
-        entries into the [NBROWS, LANE] tables; exact because
-        ``is_last`` leaves at most one contributor per bucket."""
-        hrow = h >> 7
-        hlane = h & (LANE - 1)
-        out = [jnp.zeros((NBROWS, LANE), jnp.int32) for _ in acc_fields]
-        for g in range(CROWS):
-            mrow = is_last[g:g + 1, :] > 0                # [1, 128]
-            a = ((jnp.broadcast_to(hrow[g:g + 1, :], (NBROWS, LANE))
-                  == bucket_r)
-                 & jnp.broadcast_to(mrow, (NBROWS, LANE))
-                 ).astype(jnp.bfloat16)
-            # OHl[l, i] = contributor i lands in table lane l
-            ohl = ((jnp.broadcast_to(hlane[g:g + 1, :], (LANE, LANE))
-                    == sub_col)
-                   & jnp.broadcast_to(mrow, (LANE, LANE))
+    wa = wa_ref[0]                                    # [B, CROWS, LANE]
+    wb = wb_ref[0]
+    h4 = h4_ref[0]
+    h8 = h8_ref[0]
+
+    if "ap" not in parts:               # probe-tool stripped variant
+        m4_rows = [jnp.full((B, LANE), -1, jnp.int32)] * CROWS
+        m8_rows = m4_rows
+    else:
+        m4_rows, m8_rows = _arms(B, BR, wa, wb)
+
+    # ---- table probes (pre-update): select-loop over table rows ----
+    # all operands flattened to [B*CROWS, LANE]: Mosaic's
+    # take_along_axis supports 2D only
+    def probe(tp_scr, tw_scr, h):
+        # per (table-row, chunk-row) passes on [B, 128] operands — one
+        # full tile per op, no repeat copies, 2D takes only (Mosaic's
+        # take_along_axis is 2D-only and lane-local)
+        tcs = []
+        tws = []
+        for cr in range(CROWS):
+            hr = h[:, cr, :]
+            hrow = hr >> 7
+            hlane = hr & (LANE - 1)
+            tc = jnp.zeros((B, LANE), jnp.int32)
+            tw = jnp.zeros((B, LANE), jnp.int32)
+            for r in range(NBROWS):
+                sel = hrow == r
+                tc = jnp.where(sel, _take_lane(tp_scr[:, r, :], hlane),
+                               tc)
+                tw = jnp.where(sel, _take_lane(tw_scr[:, r, :], hlane),
+                               tw)
+            tcs.append(tc)
+            tws.append(tw)
+        shaped = jnp.stack(tcs, axis=1)               # [B, CROWS, LANE]
+        ok = (shaped > 0) & (jnp.stack(tws, axis=1) == wa)
+        return shaped, ok
+
+    if "probe" in parts:
+        t4c, t4ok = probe(t4p_scr, t4w_scr, h4)
+        t8c, t8ok = probe(t8p_scr, t8w_scr, h8)
+    else:
+        t4c = t8c = jnp.zeros((B, CROWS, LANE), jnp.int32)
+        t4ok = t8ok = t4c > 0
+
+    # ---- combine + write, one row at a time (static row index) -----
+    cbase = c * CHUNK
+    for qr in range(CROWS):
+        prev_row = jnp.where(
+            m8_rows[qr] >= 0, cbase + m8_rows[qr],
+            jnp.where(t8ok[:, qr, :], t8c[:, qr, :] - 1,
+                      jnp.where(m4_rows[qr] >= 0, cbase + m4_rows[qr],
+                                jnp.where(t4ok[:, qr, :],
+                                          t4c[:, qr, :] - 1, -1))))
+        prev_ref[0, :, qr, :] = prev_row
+
+    # ---- count-guarded table updates (batched one-hot matmuls) -----
+    def upd(tp_scr, tw_scr, h):
+        cnt = jnp.zeros((B, NBROWS, LANE), jnp.float32)
+        accp = [jnp.zeros((B, NBROWS, LANE), jnp.float32)
+                for _ in range(pos_planes)]
+        accw = [jnp.zeros((B, NBROWS, LANE), jnp.float32)
+                for _ in range(4)]
+        for r in range(CROWS):
+            hr = h[:, r, :]                           # [B, 128]
+            # a[b, row, i]: contributor i of row r lands in table row
+            a = ((hr >> 7)[:, None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (B, NBROWS, 1), 1)).astype(jnp.bfloat16)
+            # ohl[b, i, lane]: contributor i lands in table lane
+            ohl = ((hr & (LANE - 1))[:, :, None]
+                   == jax.lax.broadcasted_iota(
+                       jnp.int32, (B, LANE, LANE), 2)
                    ).astype(jnp.bfloat16)
-            for fi, (field, bits) in enumerate(fields_bits):
-                got = jnp.zeros((NBROWS, LANE), jnp.int32)
-                for p in range(_cdiv(bits, 8)):
-                    plane = ((field[g:g + 1, :] >> (8 * p)) & 0xFF
-                             ).astype(jnp.bfloat16)
-                    ap = a * jnp.broadcast_to(plane, (NBROWS, LANE))
-                    r = jax.lax.dot_general(
-                        ap, ohl,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32
-                    ).astype(jnp.int32)
-                    got = got | ((r & 0xFF) << (8 * p))
-                out[fi] = out[fi] | got
-        upd = out[0] > 0                  # field 0 is pos+1: 0 = empty
-        return [jnp.where(upd, n, o) for n, o in zip(out, acc_fields)]
 
-    def chunk_body(c, _):
-        # tables live in SCRATCH refs, not loop carries: carrying four
-        # [64,128] arrays as fori_loop values measured ~6 us/iteration
-        # of pure overhead (28 ms/MB for an EMPTY loop —
-        # tools/probe_hash.py); chunk c is its own aligned tile
-        wa = wa_ref[0, c]                                 # [2,128]
-        wb = wb_ref[0, c]
-        h4 = h4_ref[0, c]
-        h8 = h8_ref[0, c]
+            def bdot(lhs):
+                return jax.lax.dot_general(
+                    lhs, ohl,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
 
-        if "ap" not in parts:              # probe-tool stripped variant
-            m4r = m8r = jnp.full((CROWS, LANE), -1, jnp.int32)
-            il4 = il8 = jnp.ones((CROWS, LANE), jnp.int32)
-            return _tail(c, wa, h4, h8, m4r, m8r, il4, il8)
+            cnt = cnt + bdot(a)
+            vpos = (cbase + r * LANE + 1
+                    + jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1))
+            for p in range(pos_planes):
+                plane = ((vpos >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                accp[p] = accp[p] + bdot(a * plane[:, None, :])
+            war = wa[:, r, :]
+            for p in range(4):
+                plane = ((war >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                accw[p] = accw[p] + bdot(a * plane[:, None, :])
+        one = cnt == 1.0
+        newp = jnp.zeros((B, NBROWS, LANE), jnp.int32)
+        for p in range(pos_planes):
+            newp = newp | ((accp[p].astype(jnp.int32) & 0xFF)
+                           << (8 * p))
+        neww = jnp.zeros((B, NBROWS, LANE), jnp.int32)
+        for p in range(4):
+            neww = neww | ((accw[p].astype(jnp.int32) & 0xFF)
+                           << (8 * p))
+        tp_scr[:, :, :] = jnp.where(one, newp, tp_scr[:, :, :])
+        tw_scr[:, :, :] = jnp.where(one, neww, tw_scr[:, :, :])
 
-        # ---- chunk-internal arms: queries as columns, sources as rows
-        waT = _tpose(wa, 32)
-        wbT = _tpose(wb, 32)
-        h4T = _tpose(h4, 16)
-        h8T = _tpose(h8, 16)
-        m4 = []                 # nearest same-u32 pos (exact bytes)
-        m8 = []                 # nearest same-8-byte pos (exact bytes)
-        # int32 0/1 masks: Mosaic rejects sublane-concatenated i1
-        # vregs ("Invalid vector register cast" on bitcast_vreg i1->i32)
-        hl4 = [jnp.zeros((1, LANE), jnp.int32) for _ in range(CROWS)]
-        hl8 = [jnp.zeros((1, LANE), jnp.int32) for _ in range(CROWS)]
-        for qr in range(CROWS):
-            qpos = qr * LANE + sub_col                    # [128, 1]
-            m4q = jnp.full((LANE, 1), -1, jnp.int32)
-            m8q = jnp.full((LANE, 1), -1, jnp.int32)
-            for sr in range(CROWS):
-                spos = sr * LANE + lane_row               # [1, 128]
-                eqwa = waT[:, qr:qr + 1] == wa[sr:sr + 1, :]
-                eqwb = wbT[:, qr:qr + 1] == wb[sr:sr + 1, :]
-                eq4 = h4T[:, qr:qr + 1] == h4[sr:sr + 1, :]
-                eq8 = h8T[:, qr:qr + 1] == h8[sr:sr + 1, :]
-                lt = jnp.broadcast_to(spos, (LANE, LANE)) < qpos
-                gt = jnp.broadcast_to(qpos, (LANE, LANE)) > spos
-                m4q = jnp.maximum(m4q, jnp.max(
-                    jnp.where(eqwa & lt, spos, -1),
-                    axis=1, keepdims=True))
-                m8q = jnp.maximum(m8q, jnp.max(
-                    jnp.where(eqwa & eqwb & lt, spos, -1),
-                    axis=1, keepdims=True))
-                # has_later[s] = any q > s with the same bucket (reduce
-                # over the query/sublane axis) — the is_last inputs
-                hl4[sr] = jnp.maximum(hl4[sr], jnp.max(
-                    jnp.where(eq4 & gt, 1, 0), axis=0, keepdims=True))
-                hl8[sr] = jnp.maximum(hl8[sr], jnp.max(
-                    jnp.where(eq8 & gt, 1, 0), axis=0, keepdims=True))
-            m4.append(m4q)
-            m8.append(m8q)
-        m4r = _tpose(jnp.concatenate(m4, axis=1) + 1, 16) - 1
-        m8r = _tpose(jnp.concatenate(m8, axis=1) + 1, 16) - 1
-        il4 = 1 - jnp.concatenate(hl4, axis=0)            # [CROWS, 128]
-        il8 = 1 - jnp.concatenate(hl8, axis=0)
-        return _tail(c, wa, h4, h8, m4r, m8r, il4, il8)
-
-    def _tail(c, wa, h4, h8, m4r, m8r, il4, il8):
-        t4p, t4w = t4p_scr[:, :], t4w_scr[:, :]
-        t8p, t8w = t8p_scr[:, :], t8w_scr[:, :]
-        # ---- table probes (before update)
-        if "probe" in parts:
-            t4c, t4ok = _probe(t4p, t4w, h4, wa)
-            t8c, t8ok = _probe(t8p, t8w, h8, wa)
-        else:
-            t4c = t8c = jnp.zeros((CROWS, LANE), jnp.int32)
-            t4ok = t8ok = t4c > 0
-
-        prev = jnp.where(
-            m8r >= 0, c * CHUNK + m8r,
-            jnp.where(t8ok, t8c - 1,
-                      jnp.where(m4r >= 0, c * CHUNK + m4r,
-                                jnp.where(t4ok, t4c - 1, -1))))
-        prev_ref[0, c] = prev
-
-        # ---- table updates
-        if "update" in parts:
-            val_pos = c * CHUNK + pos_rel + 1
-            n4p, n4w = update([t4p, t4w], h4, il4,
-                              [(val_pos, 8 * pos_planes), (wa, 32)])
-            n8p, n8w = update([t8p, t8w], h8, il8,
-                              [(val_pos, 8 * pos_planes), (wa, 32)])
-            t4p_scr[:, :] = n4p
-            t4w_scr[:, :] = n4w
-            t8p_scr[:, :] = n8p
-            t8w_scr[:, :] = n8w
-        return 0
-
-    t4p_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
-    t4w_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
-    t8p_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
-    t8w_scr[:, :] = jnp.zeros((NBROWS, LANE), jnp.int32)
-    jax.lax.fori_loop(0, nch, chunk_body, 0)
+    if "update" in parts:
+        upd(t4p_scr, t4w_scr, h4)
+        upd(t8p_scr, t8w_scr, h8)
 
 
 def _bucket_prev_pallas(wa, wb, h4, h8, D: int):
     B = wa.shape[0]
+    if B > MAXB:
+        parts = [
+            _bucket_prev_pallas(wa[i:i + MAXB], wb[i:i + MAXB],
+                                h4[i:i + MAXB], h8[i:i + MAXB], D)
+            for i in range(0, B, MAXB)]
+        return jnp.concatenate(parts, axis=0)
     nch = D // CHUNK
     pos_planes = _cdiv(max((D + 1).bit_length(), 8), 8)
-    kern = functools.partial(_hash_kernel, D, pos_planes)
-    spec = pl.BlockSpec((1, nch, CROWS, LANE), lambda b: (b, 0, 0, 0),
+    kern = functools.partial(_hash_kernel, B, D, pos_planes)
+    spec = pl.BlockSpec((1, B, CROWS, LANE), lambda c: (c, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     prev = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, nch, CROWS, LANE), jnp.int32),
-        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((nch, B, CROWS, LANE), jnp.int32),
+        grid=(nch,),
         in_specs=[spec] * 4,
         out_specs=spec,
-        scratch_shapes=[pltpu.VMEM((NBROWS, LANE), jnp.int32)] * 4,
+        scratch_shapes=[pltpu.VMEM((B, NBROWS, LANE), jnp.int32)] * 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(wa.reshape(B, nch, CROWS, LANE), wb.reshape(B, nch, CROWS, LANE),
-      h4.reshape(B, nch, CROWS, LANE), h8.reshape(B, nch, CROWS, LANE))
-    return prev.reshape(B, D)
+    )(*(jnp.moveaxis(v.reshape(B, nch, CROWS, LANE), 1, 0)
+        for v in (wa, wb, h4, h8)))
+    return jnp.moveaxis(prev, 0, 1).reshape(B, D)
 
 
 def bucket_prev_impl(wa, wb, h4, h8, D: int):
@@ -402,13 +424,10 @@ def bucket_prev_impl(wa, wb, h4, h8, D: int):
     module docstring), else -1.  Every candidate's u32 is verified.
 
     wa/wb: [B, D] int32 u32 words at i and i+4; h4/h8: [B, D] int32
-    bucket ids (see ``hash_bucket``/``hash_bucket8``); D % 256 == 0.
+    bucket ids (see ``hash_bucket``/``hash_bucket8``); D % 512 == 0.
 
-    Dispatch: the Mosaic kernel on real TPU (one launch per batch); the
-    semantically identical XLA scan on CPU, where Mosaic is unavailable
-    and interpret-mode per-chunk dispatch would crawl.  Override with
-    LZ4NET_HASH_IMPL=scan|pallas.  Cross-implementation agreement is
-    asserted by tools/certify.py on silicon.
+    Dispatch: the Mosaic kernel on real TPU, the semantically identical
+    XLA scan on CPU.  Override with LZ4NET_HASH_IMPL=scan|pallas.
     """
     impl = os.environ.get("LZ4NET_HASH_IMPL")
     if impl == "scan" or (impl != "pallas" and _interpret()):

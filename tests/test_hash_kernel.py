@@ -1,10 +1,11 @@
 """bucket_prev vs a literal NumPy replay of its two-tier hash tables.
 
-The oracle walks chunks sequentially like `original/lz4.c`'s
-probe/update loop — single-slot 8K-bucket tables updated once per
-256-position chunk — with the kernel's documented priority order:
-chunk-internal exact 8-byte, 8-byte table, chunk-internal exact u32,
-4-byte table.
+The oracle walks 512-position chunks sequentially with the module's
+documented semantics: the near-window arms (query's 128-lane row plus
+the previous row of the same chunk) at 8- then 4-byte exactness,
+interleaved with the 8- and 4-byte single-slot tables (state as of the
+chunk start; count-guarded updates keep the old entry for any bucket
+hit more than once in a chunk).
 """
 
 import numpy as np
@@ -15,8 +16,9 @@ pytestmark = pytest.mark.quick
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from lz4net_tpu.ops.hash_kernel import (CHUNK, NB, bucket_prev,  # noqa: E402
-                                        hash_bucket, hash_bucket8)
+from lz4net_tpu.ops.hash_kernel import (CHUNK, LANE, NB,  # noqa: E402
+                                        bucket_prev, hash_bucket,
+                                        hash_bucket8)
 from lz4net_tpu.utils import corpus  # noqa: E402
 
 
@@ -37,8 +39,10 @@ def _oracle(wa, wb, h4, h8):
     for cs in range(0, n, CHUNK):
         ce = min(cs + CHUNK, n)
         for i in range(cs, ce):
+            row = (i - cs) // LANE
+            wlo = cs + max(0, row - 1) * LANE      # near-window start
             got = -1
-            for j in range(i - 1, cs - 1, -1):     # arm 1: exact 8B
+            for j in range(i - 1, wlo - 1, -1):    # arm 1: exact 8B
                 if wa[j] == wa[i] and wb[j] == wb[i]:
                     got = j
                     break
@@ -47,7 +51,7 @@ def _oracle(wa, wb, h4, h8):
                 if j >= 0 and wa[j] == wa[i]:
                     got = j
             if got < 0:                            # arm 3: exact u32
-                for j in range(i - 1, cs - 1, -1):
+                for j in range(i - 1, wlo - 1, -1):
                     if wa[j] == wa[i]:
                         got = j
                         break
@@ -56,24 +60,29 @@ def _oracle(wa, wb, h4, h8):
                 if j >= 0 and wa[j] == wa[i]:
                     got = j
             prev[i] = got
-        for i in range(cs, ce):
-            t4[h4[i]] = i
-            t8[h8[i]] = i
+        for tab, h in ((t4, h4), (t8, h8)):        # count-guarded
+            hits = {}
+            for i in range(cs, ce):
+                hits.setdefault(h[i], []).append(i)
+            for b, js in hits.items():
+                if len(js) == 1:
+                    tab[b] = js[0]
     return prev
 
 
-def _run(data):
-    D = len(data)
-    wa = _u32_np(data).astype(np.int32)
-    wb = _u32_np(data, 4).astype(np.int32)
-    xa = jnp.asarray(wa[None, :], jnp.int32)
-    xb = jnp.asarray(wb[None, :], jnp.int32)
-    h4 = hash_bucket(xa)
-    h8 = hash_bucket8(xa, xb)
-    got = np.asarray(bucket_prev(xa, xb, h4, h8, D))[0]
-    want = _oracle(wa, wb, np.asarray(h4)[0].astype(np.int64),
-                   np.asarray(h8)[0].astype(np.int64))
-    np.testing.assert_array_equal(got, want)
+def _run(rows):
+    rows = np.atleast_2d(rows)
+    D = rows.shape[1]
+    wa = np.stack([_u32_np(r).astype(np.int32) for r in rows])
+    wb = np.stack([_u32_np(r, 4).astype(np.int32) for r in rows])
+    xa, xb = jnp.asarray(wa), jnp.asarray(wb)
+    h4, h8 = hash_bucket(xa), hash_bucket8(xa, xb)
+    got = np.asarray(bucket_prev(xa, xb, h4, h8, D))
+    for b in range(rows.shape[0]):
+        want = _oracle(wa[b], wb[b],
+                       np.asarray(h4)[b].astype(np.int64),
+                       np.asarray(h8)[b].astype(np.int64))
+        np.testing.assert_array_equal(got[b], want)
 
 
 @pytest.mark.parametrize("seed,kind", [(0, "silesia"), (1, "random"),
@@ -91,20 +100,8 @@ def test_bucket_prev_matches_sequential_tables(seed, kind):
 
 
 def test_bucket_prev_batched_blocks_independent():
-    D = 1024
     rng = np.random.default_rng(7)
-    rows = []
-    for b in range(3):
-        rows.append(rng.integers(0, 5, D, dtype=np.uint8))
-    wa = np.stack([_u32_np(r).astype(np.int32) for r in rows])
-    wb = np.stack([_u32_np(r, 4).astype(np.int32) for r in rows])
-    xa, xb = jnp.asarray(wa), jnp.asarray(wb)
-    h4, h8 = hash_bucket(xa), hash_bucket8(xa, xb)
-    got = np.asarray(bucket_prev(xa, xb, h4, h8, D))
-    for b in range(3):
-        want = _oracle(wa[b], wb[b], np.asarray(h4)[b].astype(np.int64),
-                       np.asarray(h8)[b].astype(np.int64))
-        np.testing.assert_array_equal(got[b], want)
+    _run(rng.integers(0, 5, (3, 1024), dtype=np.uint8))
 
 
 def test_pallas_impl_matches_scan_impl():
@@ -116,13 +113,15 @@ def test_pallas_impl_matches_scan_impl():
     for seed, kind in ((0, "silesia"), (2, "runs")):
         rng = np.random.default_rng(seed)
         if kind == "silesia":
-            data = np.frombuffer(corpus.silesia_like(D, seed=seed),
-                                 np.uint8)
+            data = np.frombuffer(corpus.silesia_like(2 * D, seed=seed),
+                                 np.uint8).reshape(2, D)
         else:
-            data = np.repeat(rng.integers(0, 7, D // 16,
-                                          dtype=np.uint8), 16)
-        wa = jnp.asarray(_u32_np(data).astype(np.int32)[None, :])
-        wb = jnp.asarray(_u32_np(data, 4).astype(np.int32)[None, :])
+            data = np.repeat(rng.integers(0, 7, (2, D // 16),
+                                          dtype=np.uint8), 16, axis=1)
+        wa = jnp.asarray(np.stack(
+            [_u32_np(r).astype(np.int32) for r in data]))
+        wb = jnp.asarray(np.stack(
+            [_u32_np(r, 4).astype(np.int32) for r in data]))
         h4, h8 = hash_bucket(wa), hash_bucket8(wa, wb)
         a = np.asarray(_bucket_prev_pallas(wa, wb, h4, h8, D))
         b = np.asarray(_bucket_prev_scan(wa, wb, h4, h8, D))
