@@ -195,6 +195,33 @@ def _bench_vector(blocks, packed):
     return per_pass / covered, {"uncertified": bad, "blocks": n_sub * B}
 
 
+def _bench_block1m(data):
+    """Reference-default 1 MB blocks (`src/LZ4/LZ4Stream.cs:119`)
+    through VectorDecoder's cross-block fragment-wave batching."""
+    from lz4net_tpu.models import native
+    from lz4net_tpu.ops.decode_vector import VectorDecoder
+    from lz4net_tpu.utils import corpus
+
+    blocks = corpus.split_blocks(data, 1 << 20)
+    packed = [native.compress_block(b) for b in blocks]
+    out_lens = [len(b) for b in blocks]
+    dec = VectorDecoder()
+    got = dec.decode_batch(packed, out_lens)
+    for g, b in zip(got, blocks):
+        if g != b:
+            raise RuntimeError("1 MB block decode mismatch")
+
+    def run(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dec.decode_batch(packed, out_lens)
+        return time.perf_counter() - t0
+
+    run(1)
+    ta, tb = run(1), run(3)
+    return (tb - ta) / 2
+
+
 def _bench_encode(blocks, hc_level):
     """Device encode throughput (vector encoder; hc_level 0 = fast
     greedy, 9 = fast-HC), input bytes per second."""
@@ -252,6 +279,12 @@ def _run_impl(impl):
         print(json.dumps({"impl": impl,
                           "gbps": round(len(data) / per_iter / 1e9, 4),
                           "ratio": round(ratio, 4), **extras}))
+        return
+    if impl == "block1m":
+        per_iter = _bench_block1m(data)
+        print(json.dumps({"impl": impl,
+                          "gbps": round(len(data) / per_iter / 1e9, 4),
+                          "iter_ms": round(per_iter * 1e3, 3)}))
         return
     if impl in ("encode", "encode_hc"):
         per_iter = _bench_encode(blocks, 0 if impl == "encode" else 9)
@@ -386,6 +419,8 @@ def main():
         "block_kb": BLOCK_SIZE // 1024,
     }
     budgets = {"vector": int(os.environ.get("BENCH_TIMEOUT_VECTOR", "1500")),
+               "block1m": int(os.environ.get("BENCH_TIMEOUT_BLOCK1M",
+                                             "900")),
                "corpus": int(os.environ.get("BENCH_TIMEOUT_CORPUS", "600")),
                "encode": int(os.environ.get("BENCH_TIMEOUT_ENCODE", "900")),
                "encode_hc": int(os.environ.get("BENCH_TIMEOUT_ENCODE",
@@ -446,6 +481,8 @@ def main():
             runs["encode"].get("gbps", 0) / 0.4, 4)
     if "parallel_efficiency" in runs.get("scaling", {}):
         result["scaling"] = runs["scaling"]
+    if "gbps" in runs.get("block1m", {}):
+        result["block1m_gbps"] = runs["block1m"]["gbps"]
     if "gbps" in runs.get("corpus", {}):
         result["realbytes_gbps"] = runs["corpus"]["gbps"]
         result["realbytes_ratio"] = runs["corpus"].get("ratio")

@@ -582,45 +582,73 @@ class VectorDecoder:
                                                dictionary)
             for i, r in zip(small, sub_res):
                 results[i] = r
-        for i in big:
-            results[i] = self._decode_big(blocks[i], out_lens[i],
-                                          dictionary)
+        if big:
+            self._decode_big_many(
+                [blocks[i] for i in big], [out_lens[i] for i in big],
+                big, results, dictionary)
         return results
 
     def _decode_big(self, block, out_len, dictionary=None):
-        """Decode one block beyond the kernel cap as a sequence of
-        <= 96 KB fragments, each resolved against the previous 64 KB of
+        """Decode one block beyond the kernel cap (see
+        ``_decode_big_many``)."""
+        results = [None]
+        self._decode_big_many([block], [out_len], [0], results,
+                              dictionary)
+        return results[0]
+
+    def _decode_big_many(self, blocks, out_lens, dest_idx, results,
+                         dictionary=None):
+        """Decode blocks beyond the kernel cap as sequences of <= 96 KB
+        fragments, each resolved against the previous 64 KB of its own
         output through the prefix-window path (ops/bigblock.py); the
-        reference block API takes up to ~1.9 GB (`original/lz4.h:70`)."""
+        reference block API takes up to ~1.9 GB (`original/lz4.h:70`).
+
+        Fragment waves are batched ACROSS blocks: wave w dispatches
+        fragment w of every block in ONE kernel call with per-block
+        prefix windows (their windows are independent — each is the
+        block's own already-resolved bytes), so the reference-default
+        1 MB stream chunking (`src/LZ4/LZ4Stream.cs:119`) pays ~16
+        sequential dispatches per BATCH of blocks, not per block."""
         from .bigblock import WINDOW, split_fragments
-        frags = split_fragments(block, out_len)
-        if frags is None:
-            return self._host_decode(block, out_len, dictionary)
         head = bytes(dictionary)[-WINDOW:] if dictionary else b""
-        out = bytearray()
-        # batch consecutive fragments while their windows are already
-        # final (a fragment's window is the 64 KB before its start, so
-        # any run of fragments fits one dispatch only if each starts
-        # where the previous ends — decode waves sequentially but batch
-        # per dispatch as wide as the device batch allows is future
-        # work; correctness first: one fragment per pass, batched at
-        # the stream layer across blocks)
-        for frag, o0, span in frags:
-            window = (head + bytes(out))[-WINDOW:] if o0 < WINDOW \
-                else bytes(out[o0 - WINDOW:o0])
-            piece = [None]
-            retry = self._device_pass([frag], [span], [0], piece,
-                                      dense=False,
-                                      dictionary=window or None)
+        frag_lists = {}
+        outs = {}
+        for j, (block, out_len) in enumerate(zip(blocks, out_lens)):
+            frags = split_fragments(block, out_len)
+            if frags is None:
+                results[dest_idx[j]] = self._host_decode(
+                    block, out_len, dictionary)
+            else:
+                frag_lists[j] = frags
+                outs[j] = bytearray()
+        max_waves = max((len(f) for f in frag_lists.values()),
+                        default=0)
+        for w in range(max_waves):
+            live = [j for j in frag_lists if w < len(frag_lists[j])]
+            fr = [frag_lists[j][w][0] for j in live]
+            spans = [frag_lists[j][w][2] for j in live]
+            windows = []
+            for j in live:
+                o0 = frag_lists[j][w][1]
+                windows.append((head + bytes(outs[j]))[-WINDOW:]
+                               if o0 < WINDOW
+                               else bytes(outs[j][o0 - WINDOW:o0]))
+            pieces = [None] * len(live)
+            retry = self._device_pass(fr, spans, range(len(live)),
+                                      pieces, dense=False,
+                                      dictionary=windows)
             if retry:
-                retry = self._device_pass([frag], [span], [0], piece,
+                retry = self._device_pass(fr, spans, retry, pieces,
                                           dense=True,
-                                          dictionary=window or None)
-            if retry:
+                                          dictionary=windows)
+            for k in retry:
                 from ..models import native
-                piece[0] = native.decompress_fragment(frag, window, span)
-            out += piece[0]
-        return bytes(out)
+                pieces[k] = native.decompress_fragment(
+                    fr[k], windows[k], spans[k])
+            for k, j in enumerate(live):
+                outs[j] += pieces[k]
+        for j in frag_lists:
+            results[dest_idx[j]] = bytes(outs[j])
 
     def decode_batch_unknown(self, blocks, max_out_lens):
         """Unknown-output-length decode on device.
@@ -646,7 +674,7 @@ class VectorDecoder:
             D = _cdiv(max_d + 1, CH) * CH
             S_cap = _cdiv(C // 3 + 2, LANE) * LANE   # hard format bound
             E_cap = 2 * S_cap
-            comp = np.zeros((len(idxs), C), np.int32)
+            comp = np.zeros((len(idxs), C), np.uint8)
             for i, b in enumerate(idxs):
                 comp[i, :len(blocks[b])] = np.frombuffer(
                     blocks[b], np.uint8)
@@ -654,10 +682,12 @@ class VectorDecoder:
             out_len = np.array([max_out_lens[b] for b in idxs], np.int32)
             out, total, ok, strict, consumed, needed = \
                 decode_batch_vectorized(
-                    jnp.asarray(comp), jnp.asarray(comp_len),
+                    jnp.asarray(comp).astype(jnp.int32),
+                    jnp.asarray(comp_len),
                     jnp.asarray(out_len), C, D, S_cap, E_cap, 8192,
                     fused=_use_fused(), w_seq=64)
-            out = np.asarray(out)
+            # fetch bytes, not words: host link is ~20 MB/s
+            out = np.asarray(out.astype(jnp.uint8))
             total, ok = np.asarray(total), np.asarray(ok)
             strict, needed = np.asarray(strict), np.asarray(needed)
             for i, b in enumerate(idxs):
@@ -689,7 +719,9 @@ class VectorDecoder:
             k2 = 2048
         E_cap = 2 * S_cap
 
-        comp = np.zeros((len(idxs), C), np.int32)
+        # ship bytes, widen on device: the host link is ~20 MB/s and
+        # int32 rows are 4x the wire bytes
+        comp = np.zeros((len(idxs), C), np.uint8)
         for i, b in enumerate(idxs):
             comp[i, :len(blocks[b])] = np.frombuffer(blocks[b], np.uint8)
         comp_len = np.array([len(blocks[b]) for b in idxs], np.int32)
@@ -697,22 +729,32 @@ class VectorDecoder:
 
         pre = pre_len = None
         if dictionary:
-            window = bytes(dictionary)[-MAX_DISTANCE_WINDOW:]
-            P = _cdiv(max(len(window), 1), CH) * CH
-            prow = np.zeros(P, np.int32)
-            prow[P - len(window):] = np.frombuffer(window, np.uint8)
-            pre = jnp.asarray(np.broadcast_to(
-                prow, (len(idxs), P)).copy())
-            pre_len = jnp.asarray(
-                np.full(len(idxs), len(window), np.int32))
+            # one shared window (bytes) or one window per batch row
+            # (list aligned with index_set — the big-block fragment
+            # waves give every block its own resolved prefix)
+            if isinstance(dictionary, (bytes, bytearray, memoryview)):
+                windows = [bytes(dictionary)] * len(idxs)
+            else:
+                windows = [bytes(w or b"") for w in dictionary]
+            windows = [w[-MAX_DISTANCE_WINDOW:] for w in windows]
+            P = _cdiv(max(max(len(w) for w in windows), 1), CH) * CH
+            prows = np.zeros((len(idxs), P), np.uint8)
+            for i, w in enumerate(windows):
+                if w:
+                    prows[i, P - len(w):] = np.frombuffer(w, np.uint8)
+            pre = jnp.asarray(prows).astype(jnp.int32)
+            pre_len = jnp.asarray(np.array(
+                [len(w) for w in windows], np.int32))
 
         out, total, ok, strict, _consumed, needed = \
             decode_batch_vectorized(
-                jnp.asarray(comp), jnp.asarray(comp_len),
+                jnp.asarray(comp).astype(jnp.int32),
+                jnp.asarray(comp_len),
                 jnp.asarray(out_len), C, D, S_cap, E_cap, k2,
                 pre=pre, pre_len=pre_len,
                 fused=_use_fused(), w_seq=64 if dense else 16)
-        out = np.asarray(out)
+        # fetch bytes, not words: host link is ~20 MB/s
+        out = np.asarray(out.astype(jnp.uint8))
         total = np.asarray(total)
         ok = np.asarray(ok)
         strict, needed = np.asarray(strict), np.asarray(needed)

@@ -12,12 +12,12 @@ E1  candidates        the reference's hash table answers "most recent
                       earlier position with the same 4-byte value".
                       Fast mode uses the reference's own data structure
                       TPU-ified: per-block 8K-bucket tables at 4- and
-                      8-byte prefix widths, carried through one XLA
-                      scan (`hash_kernel.bucket_prev`) — candidates are
-                      u32-verified in-table.  HC levels still use
-                      corpus-wide stable `lax.sort` prev-occurrence
-                      tiers (exact, collision-free) for their deeper
-                      candidate sets.
+                      8-byte prefix widths in one batched Mosaic kernel
+                      (`hash_kernel.bucket_prev`; XLA-scan twin on CPU)
+                      — candidates are u32-verified in-table.  HC
+                      levels still use corpus-wide stable `lax.sort`
+                      prev-occurrence tiers (exact, collision-free)
+                      for their deeper candidate sets.
 E2  match lengths     periodic offsets (<= 4) get exact unbounded
                       lengths from per-offset equality-run scans (the
                       RLE path).  Far offsets extend by u32 compares:
@@ -387,7 +387,8 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
         # candidate sets standing in for the chain walk: nearest + 2nd
         # nearest 8-byte-prefix occurrence, then 12/16/32-byte prefixes
         cand_sets = []
-        p8b = _prev_occurrence((u32, u32s4))
+        p8b = prev8              # same keys as the base 8-byte tier
+                                 # (was a duplicated 2-sort call)
         # +1 bias so "no predecessor" (-1) stays distinguishable through
         # the gather (a clamped -1 would fabricate position 0 as a
         # verified candidate)
@@ -786,7 +787,7 @@ class VectorEncoder:
             D = P + _cdiv(max_d + 1, CH) * CH
             O = _cdiv(maximum_output_length(D - P) + 1, CH) * CH
             S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
-            x = np.zeros((len(device), D), np.int32)
+            x = np.zeros((len(device), D), np.uint8)
             for j, b in enumerate(device):
                 if P:
                     x[j, P - len(window):P] = np.frombuffer(window,
@@ -800,9 +801,11 @@ class VectorEncoder:
             lvl = min(max(hc_level, 0), 9)
             rcap = max(4096, D // 4) if lvl > 0 else 4096
             out, out_len, ok, _aux = encode_batch_vectorized(
-                jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
+                jnp.asarray(x).astype(jnp.int32), jnp.asarray(dl), D,
+                O, S_cap, rcap=rcap,
                 hc_level=lvl, P=P, pre_len=pre_len, fused=_use_fused())
-            out = np.asarray(out)
+            # fetch bytes, not words: host link is ~20 MB/s
+            out = np.asarray(out.astype(jnp.uint8))
             out_len, ok = np.asarray(out_len), np.asarray(ok)
             for j, b in enumerate(device):
                 if bool(ok[j]):
@@ -841,7 +844,7 @@ class VectorEncoder:
         D = P + _cdiv(self.SEG_SIZE + 1, CH) * CH
         O = _cdiv(maximum_output_length(D - P) + 1, CH) * CH
         S_cap = _cdiv(D // MINMATCH + 2, LANE) * LANE + LANE
-        x = np.zeros((len(segs), D), np.int32)
+        x = np.zeros((len(segs), D), np.uint8)
         dl = np.zeros(len(segs), np.int32)
         pre_len = np.zeros(len(segs), np.int32)
         head = bytes(dictionary)[-(MAX_DISTANCE + 1):] if dictionary \
@@ -860,10 +863,11 @@ class VectorEncoder:
         lvl = min(max(hc_level, 0), 9)
         rcap = max(4096, D // 4) if lvl > 0 else 4096
         out, out_len, ok, aux = encode_batch_vectorized(
-            jnp.asarray(x), jnp.asarray(dl), D, O, S_cap, rcap=rcap,
-            hc_level=lvl, P=P,
+            jnp.asarray(x).astype(jnp.int32), jnp.asarray(dl), D, O,
+            S_cap, rcap=rcap, hc_level=lvl, P=P,
             pre_len=jnp.asarray(pre_len), fused=_use_fused())
-        out, out_len = np.asarray(out), np.asarray(out_len)
+        out = np.asarray(out.astype(jnp.uint8))
+        out_len = np.asarray(out_len)
         aux = np.asarray(aux)
         if not np.asarray(ok).all():
             return self._host_encode(block, dst_maxlen, hc_level,
