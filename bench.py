@@ -40,7 +40,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_GBPS = 2.0          # reference single-core decode, doc/readme.md:5
 CORPUS_MB = 16
 BLOCK_SIZE = 64 * 1024
-VECTOR_SUB_BATCH = 16        # compiled vector-kernel batch shape
+VECTOR_SUB_BATCH = 32        # compiled vector-kernel batch shape
 
 
 def build_workload(source="silesia"):
