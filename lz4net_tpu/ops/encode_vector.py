@@ -305,6 +305,9 @@ def _top_off_exact(x, i, far, off, mlen, matched, dks, top_offsets,
     end rules (`lz4_format_description.txt:93-104`: no match covering
     the last 5 bytes, none starting < 12 bytes before the end, blocks
     < 13 bytes all-literal)."""
+    import os as _os
+    if _os.environ.get("LZ4NET_TOPOFF") == "skip":   # probe only
+        top_offsets = 0
     for t in range(top_offsets):
         dk = dks[:, t]
         rolled = jax.vmap(lambda row, s: jnp.roll(row, s))(x, dk)
