@@ -541,12 +541,19 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
     g = jnp.where(matched, nm_at_end, nm)
     g = jnp.maximum(g, i[None, :] + 1)          # junk-safe: strictly forward
 
-    nseg = D // SEG
-    g3 = g.reshape(B, nseg, SEG)
-    H3 = _segment_exits(g3, nseg)
-    entries = _thread_chain(H3, nseg)
-    mark = _mark_tokens(g3, entries, nseg)
-    mark = mark * matched.astype(jnp.int32)
+    if fused:
+        # chain threading in ONE Pallas kernel (the decode parse
+        # megakernel's P2-P4 structure) — the XLA form below spends
+        # ~8 ms/MB across ~30 separate doubling/marking ops on chip
+        from .chain_kernel import mark_chain
+        mark = mark_chain(g, D) * matched.astype(jnp.int32)
+    else:
+        nseg = D // SEG
+        g3 = g.reshape(B, nseg, SEG)
+        H3 = _segment_exits(g3, nseg)
+        entries = _thread_chain(H3, nseg)
+        mark = _mark_tokens(g3, entries, nseg)
+        mark = mark * matched.astype(jnp.int32)
 
     _e = _stage_exit("e3", mark, B, O)
     if _e is not None:

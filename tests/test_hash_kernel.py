@@ -126,3 +126,39 @@ def test_pallas_impl_matches_scan_impl():
         a = np.asarray(_bucket_prev_pallas(wa, wb, h4, h8, D))
         b = np.asarray(_bucket_prev_scan(wa, wb, h4, h8, D))
         np.testing.assert_array_equal(a, b)
+
+
+def test_mark_chain_matches_xla_machinery():
+    """chain_kernel.mark_chain (interpret here; silicon via certify's
+    fused-encode round-trips) vs the XLA segment machinery on real
+    encoder chain graphs."""
+    from lz4net_tpu.ops.chain_kernel import mark_chain
+    from lz4net_tpu.ops.decode_vector import (SEG, _mark_tokens,
+                                              _segment_exits,
+                                              _thread_chain)
+    rng = np.random.default_rng(11)
+    D = 1024
+    B = 3
+    # synthesize valid chain graphs: matched positions with mlen>=4,
+    # g = next match at/after the step target, else next match
+    g_rows = []
+    for b in range(B):
+        matched = rng.random(D) < 0.2
+        mlen = rng.integers(4, 40, D)
+        nxt = np.full(D + 1, D, np.int64)
+        for i2 in range(D - 1, -1, -1):
+            nxt[i2] = i2 if matched[i2] else nxt[i2 + 1]
+        g = np.empty(D, np.int64)
+        for i2 in range(D):
+            t = i2 + (mlen[i2] if matched[i2] else 1)
+            g[i2] = D if t >= D else nxt[t] if matched[i2] else nxt[i2 + 1] if i2 + 1 <= D - 1 else D
+        g = np.maximum(g, np.arange(D) + 1)
+        g_rows.append(g.astype(np.int32))
+    gj = jnp.asarray(np.stack(g_rows))
+    got = np.asarray(mark_chain(gj, D))
+    nseg = D // SEG
+    g3 = gj.reshape(B, nseg, SEG)
+    H3 = _segment_exits(g3, nseg)
+    entries = _thread_chain(H3, nseg)
+    want = np.asarray(_mark_tokens(g3, entries, nseg)).reshape(B, D)
+    np.testing.assert_array_equal(got, want)
