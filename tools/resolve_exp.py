@@ -58,6 +58,219 @@ def _gather_sel(tbl, idx):
     return acc
 
 
+def _gather_sel_banded(tbl, idx, B, R):
+    """Cross-block batched select-loop gather.  tbl/idx are [B*R, LANE]
+    banded flat tables (band b = block b's R rows); idx holds band-LOCAL
+    flat positions (< R*128).  out[b*R+k, l] = tbl[b*R + idx>>7, idx&127].
+    R select rounds over ALL blocks at once: per-round data is a [B, 128]
+    row slice broadcast across sublanes (no jnp.repeat — the broadcast is
+    a native sublane splat), so the op size grows B-fold while the round
+    count stays R."""
+    KRb = idx.shape[0] // B
+    row = idx >> 7
+    lane = idx & (LANE - 1)
+    t3 = tbl.reshape(B, R, LANE)
+    acc = jnp.zeros_like(idx)
+    for r in range(R):
+        bc = jnp.broadcast_to(t3[:, r:r + 1, :],
+                              (B, KRb, LANE)).reshape(B * KRb, LANE)
+        vals = jnp.take_along_axis(bc, lane, axis=-1)
+        acc = jnp.where(row == r, vals, acc)
+    return acc
+
+
+def _pack_chunk_banded(res, B):
+    """Banded twin of _pack_chunk: res [B*CR, LANE] byte rows ->
+    [B*(CR//4), LANE] packed words, per band.  The strided 4k+r row
+    selection is a single CR-round select loop instead of a one-hot
+    matmul (no block-diagonal one-hot needed)."""
+    CRl = res.shape[0] // B
+    KR = CRl // 4
+    r3 = res.reshape(B, CRl, LANE)
+    k_id = jax.lax.broadcasted_iota(jnp.int32, (B * KR, LANE), 0) % KR
+    grps = [jnp.zeros((B * KR, LANE), jnp.int32) for _ in range(4)]
+    for rr in range(CRl):
+        bc = jnp.broadcast_to(r3[:, rr:rr + 1, :],
+                              (B, KR, LANE)).reshape(B * KR, LANE)
+        sel = k_id == (rr >> 2)
+        g = rr & 3
+        grps[g] = jnp.where(sel, bc, grps[g])
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B * KR, LANE), 1)
+    word = jnp.zeros((B * KR, LANE), jnp.int32)
+    for r in range(4):
+        for byte in range(4):
+            src_lane = (4 * lanes + byte) & (LANE - 1)
+            vals = jnp.take_along_axis(grps[r], src_lane, axis=-1)
+            word = jnp.where((lanes >> 5) == r,
+                             word | (vals << (8 * byte)), word)
+    return word
+
+
+def make_flat_kernel(B, nchunks, rows):
+    """All B blocks resolved in ONE grid step: every select round's op
+    covers [B*64, 128] instead of [64, 128], amortising per-op issue
+    overhead B-fold (PROFILE_r04 orientation rule)."""
+    PKR = rows // 4
+
+    def kern(t0_ref, out_ref, ok_ref, pk_scr):
+        i_iota = jax.lax.broadcasted_iota(jnp.int32, (B * CR, LANE), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (B * CR, LANE), 1)
+        kloc = (i_iota % CR) * LANE + l_iota     # band-local position
+
+        def body(j, ok):
+            t0 = t0_ref[:, pl.ds(j * CR, CR), :].reshape(B * CR, LANE)
+            lo = j * CH
+            pend = (t0 < VFLAG) & (t0 >= lo)
+            n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
+
+            for _ in range(6):
+                n = _gather_sel_banded(n, n, B, CR)
+
+            def d_cond(st):
+                n, n2, r = st
+                return jnp.any(n2 != n) & (r < 13)
+
+            def d_body(st):
+                _, n, r = st
+                n1 = _gather_sel_banded(n, n, B, CR)
+                return n, _gather_sel_banded(n1, n1, B, CR), r + 2
+
+            _, n, _ = jax.lax.while_loop(
+                d_cond, d_body,
+                (n, _gather_sel_banded(n, n, B, CR), jnp.int32(7)))
+
+            t = _gather_sel_banded(t0, n, B, CR)
+            tc = jnp.clip(t, 0, jnp.maximum(lo - 1, 0))
+            pk = pk_scr[:, :, :].reshape(B * PKR, LANE)
+            w = _gather_sel_banded(pk, tc >> 2, B, PKR)
+            cv = (w >> (8 * (tc & 3))) & 0xFF
+            res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
+            out_ref[:, pl.ds(j * CR, CR), :] = res.reshape(B, CR, LANE)
+            pk_scr[:, pl.ds(j * (CR // 4), CR // 4), :] = \
+                _pack_chunk_banded(res, B).reshape(B, CR // 4, LANE)
+            return ok
+
+        jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
+        for b in range(B):
+            ok_ref[b, 0] = jnp.int32(1)
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=())
+def resolve_flat(t0):
+    B, Dt = t0.shape
+    nchunks = Dt // CH
+    rows = Dt // LANE
+    kern = make_flat_kernel(B, nchunks, rows)
+    out, okk = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, rows, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((B, rows, LANE), lambda _: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((B, rows, LANE), lambda _: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, 1), lambda _: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((B, rows // 4, LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024),
+        interpret=_interpret(),
+    )(t0.reshape(B, rows, LANE))
+    return out.reshape(B, Dt), okk[:, 0]
+
+
+def make_stair_kernel(nchunks, rows):
+    """Production kernel + STAIRCASE cross-chunk value gather: chunk j
+    only ever references packed rows < j*(CR//4) (tc is clipped below
+    lo), so the select loop runs in CR//4-row segments each guarded by
+    pl.when(segment < j's row bound) — 9*144 rounds become sum(j*16)
+    = 576 executed rounds (2.25x fewer) while the unrolled program
+    stays fori-loop sized.  acc rides in a scratch ref because pl.when
+    regions cannot return values."""
+    PKR = rows // 4
+    SEGR = CR // 4
+
+    def kern(t0_ref, out_ref, ok_ref, pk_scr, acc_scr):
+        kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
+            + jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 1)
+
+        def body(j, ok):
+            t0 = t0_ref[0, pl.ds(j * CR, CR), :]
+            lo = j * CH
+            pend = (t0 < VFLAG) & (t0 >= lo)
+            n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
+            for _ in range(6):
+                n = _gather_sel(n, n)
+
+            def d_cond(st):
+                n, n2, r = st
+                return jnp.any(n2 != n) & (r < 13)
+
+            def d_body(st):
+                _, n, r = st
+                n1 = _gather_sel(n, n)
+                return n, _gather_sel(n1, n1), r + 2
+
+            _, n, _ = jax.lax.while_loop(
+                d_cond, d_body, (n, _gather_sel(n, n), jnp.int32(7)))
+
+            t = _gather_sel(t0, n)
+            tc = jnp.clip(t, 0, jnp.maximum(lo - 1, 0))
+            prow = tc >> 2
+            rowi = prow >> 7
+            lanei = prow & (LANE - 1)
+            acc_scr[:, :] = jnp.zeros((CR, LANE), jnp.int32)
+            need_rows = j * SEGR          # packed rows written so far
+            for seg in range(nchunks):
+                @pl.when(seg * SEGR < need_rows)
+                def _():
+                    acc = acc_scr[:, :]
+                    for r in range(seg * SEGR, (seg + 1) * SEGR):
+                        bc = jnp.broadcast_to(pk_scr[r:r + 1, :],
+                                              (CR, LANE))
+                        vals = jnp.take_along_axis(bc, lanei, axis=-1)
+                        acc = jnp.where(rowi == r, vals, acc)
+                    acc_scr[:, :] = acc
+            w = acc_scr[:, :]
+            cv = (w >> (8 * (tc & 3))) & 0xFF
+            res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
+            out_ref[0, pl.ds(j * CR, CR), :] = res
+            pk_scr[pl.ds(j * SEGR, SEGR), :] = _pack_chunk(res)
+            return ok
+
+        ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
+        ok_ref[pl.program_id(0), 0] = ok
+    return kern
+
+
+@jax.jit
+def resolve_stair(t0):
+    B, Dt = t0.shape
+    nchunks = Dt // CH
+    rows = Dt // LANE
+    kern = make_stair_kernel(nchunks, rows)
+    out, okk = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, rows, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, 1), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((rows // 4, LANE), jnp.int32),
+                        pltpu.VMEM((CR, LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(t0.reshape(B, rows, LANE))
+    return out.reshape(B, Dt), okk[:, 0]
+
+
 def make_kernel(variant, nchunks):
     def kern(t0_ref, out_ref, ok_ref, pk_scr):
         kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
@@ -145,6 +358,10 @@ def main():
 
     if variant == "base":
         fn = lambda: resolve_wavefront(t0d, start_chunk=0)[0]
+    elif variant == "flat":
+        fn = lambda: resolve_flat(t0d)[0]
+    elif variant == "stair":
+        fn = lambda: resolve_stair(t0d)[0]
     else:
         fn = lambda: resolve_var(t0d, variant)[0]
 
@@ -158,8 +375,13 @@ def main():
         np.asarray(r)
         return time.perf_counter() - t0
     run(1)
-    ta, tb = run(2), run(12)
-    per = (tb - ta) / 10
+    # tunnel-latency noise: take the best of 3 dispatch-differenced
+    # estimates with a wider iteration spread
+    ests = []
+    for _ in range(3):
+        ta, tb = run(2), run(22)
+        ests.append((tb - ta) / 20)
+    per = max(min(ests), 1e-6)
     mb = B * 64 * 1024 / 1e6
     print(f"{variant}: {per * 1e3:.3f} ms  correct={B - bad}/{B}  "
           f"({mb / 1e3 / per:.3f} GB/s)", flush=True)
