@@ -139,7 +139,8 @@ def _pack_chunk(res):
 
 
 def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref,
-                    pk_scr):
+                    pk_scr, acc_scr):
+    SEGR = CR // 4
     kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
         + jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 1)
 
@@ -175,11 +176,32 @@ def _resolve_kernel(nchunks, start_chunk, t0_ref, out_ref, ok_ref,
             d_cond, d_body, (n, _gather_sel(n, n), jnp.int32(7)))
 
         t = _gather_sel(t0, n)
-        # cross-chunk values from the 4-bytes-per-word packed mirror:
-        # a quarter the rows -> a quarter the select passes (clipped
-        # indices never reach rows of unresolved chunks)
+        # cross-chunk values from the 4-bytes-per-word packed mirror: a
+        # quarter the rows -> a quarter the select passes.  STAIRCASE:
+        # chunk j only references packed rows < j*SEGR (tc is clipped
+        # below lo), so the select loop runs as SEGR-row segments each
+        # guarded by pl.when(segment already written) — the executed
+        # round count drops from nchunks*PKR to sum_j(j*SEGR), measured
+        # 2.446 -> 2.001 ms per 16x64 KB batch (tools/resolve_exp.py
+        # base vs stair, chip).  acc rides in a scratch ref because
+        # pl.when regions cannot return values.
         tc = jnp.clip(t, 0, jnp.maximum(lo - 1, 0))
-        w = _gather_sel(pk_scr[:, :], tc >> 2)
+        prow = tc >> 2
+        rowi = prow >> 7
+        lanei = prow & (LANE - 1)
+        acc_scr[:, :] = jnp.zeros((CR, LANE), jnp.int32)
+        need_rows = j * SEGR               # packed rows written so far
+        for seg in range(nchunks):
+            @pl.when(seg * SEGR < need_rows)
+            def _():
+                acc = acc_scr[:, :]
+                for r in range(seg * SEGR, (seg + 1) * SEGR):
+                    bc = jnp.broadcast_to(pk_scr[r:r + 1, :],
+                                          (CR, LANE))
+                    vals = jnp.take_along_axis(bc, lanei, axis=-1)
+                    acc = jnp.where(rowi == r, vals, acc)
+                acc_scr[:, :] = acc
+        w = acc_scr[:, :]
         cv = (w >> (8 * (tc & 3))) & 0xFF
         res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
         # dict-prefix chunks arrive pre-resolved as terminals
@@ -217,7 +239,8 @@ def resolve_wavefront(t0, start_chunk: int = 0):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((B, 1), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((rows // 4, LANE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows // 4, LANE), jnp.int32),
+                        pltpu.VMEM((CR, LANE), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
