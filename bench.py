@@ -400,16 +400,12 @@ def _run_scaling():
                       "parallel_efficiency": round(eff_overhead, 3)}))
 
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1].startswith("--impl="):
-        impl = sys.argv[1].split("=", 1)[1]
-        if impl == "scaling":
-            _run_scaling()
-        else:
-            _run_impl(impl)
-        return 0
-
-    t_start = time.time()
+def _headline(runs, t_start, partial):
+    """Assemble the single-line result dict from whatever stages have
+    completed so far.  Called after EVERY stage so a hard kill at any
+    point still leaves a parseable best-so-far line as the last stdout
+    line (round-4 lesson: one end-of-run print lost everything to a
+    driver timeout)."""
     result = {
         "metric": "silesia64k_tpu_decode",
         "value": 0.0,
@@ -418,50 +414,6 @@ def main():
         "corpus_mb": CORPUS_MB,
         "block_kb": BLOCK_SIZE // 1024,
     }
-    budgets = {"vector": int(os.environ.get("BENCH_TIMEOUT_VECTOR", "1500")),
-               "block1m": int(os.environ.get("BENCH_TIMEOUT_BLOCK1M",
-                                             "900")),
-               "corpus": int(os.environ.get("BENCH_TIMEOUT_CORPUS", "600")),
-               "encode": int(os.environ.get("BENCH_TIMEOUT_ENCODE", "900")),
-               "encode_hc": int(os.environ.get("BENCH_TIMEOUT_ENCODE",
-                                               "900")),
-               "scaling": int(os.environ.get("BENCH_TIMEOUT_SCALING",
-                                             "600")),
-               "pallas": int(os.environ.get("BENCH_TIMEOUT_PALLAS", "420"))}
-    runs = {}
-    for impl, budget in budgets.items():
-        if impl == "pallas" and "gbps" in runs.get("vector", {}):
-            # the sequencer kernel is the decode fallback; skip it ONLY
-            # when the vector DECODE run produced a number (encode gbps
-            # must not mask a decode regression — round-2 headline bug)
-            runs[impl] = {"skipped": "vector succeeded"}
-            continue
-        env = dict(os.environ)
-        if impl == "scaling":
-            # virtual 8-device CPU mesh (one real chip is available).
-            # The axon sitecustomize (remote-TPU plugin) initialises a
-            # backend at interpreter start and the forced-host device
-            # count is then ignored — drop it from PYTHONPATH here.
-            env.update(JAX_PLATFORMS="cpu",
-                       XLA_FLAGS=(env.get("XLA_FLAGS", "")
-                                  + " --xla_force_host_platform_device"
-                                    "_count=8"),
-                       PYTHONPATH=os.pathsep.join(
-                           p for p in env.get("PYTHONPATH", "").split(
-                               os.pathsep) if ".axon_site" not in p))
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), f"--impl={impl}"],
-                capture_output=True, text=True, timeout=budget, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-            runs[impl] = json.loads(line) if line.startswith("{") else \
-                {"error": (proc.stderr or "no output")[-160:]}
-        except subprocess.TimeoutExpired:
-            runs[impl] = {"error": f"timeout after {budget}s"}
-        except Exception as exc:  # noqa: BLE001
-            runs[impl] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
-
     best = None
     for impl, r in runs.items():
         if impl in ("vector", "pallas") and "gbps" in r \
@@ -474,11 +426,11 @@ def main():
         result["ratio"] = runs[best].get("ratio")
     if "gbps" in runs.get("encode", {}):
         result["encode_gbps"] = runs["encode"]["gbps"]
-    if "gbps" in runs.get("encode_hc", {}):
-        result["hc_encode_gbps"] = runs["encode_hc"]["gbps"]
         # reference fast-compress baseline ~0.4 GB/s/core (doc/readme.md:5)
         result["encode_vs_baseline"] = round(
-            runs["encode"].get("gbps", 0) / 0.4, 4)
+            runs["encode"]["gbps"] / 0.4, 4)
+    if "gbps" in runs.get("encode_hc", {}):
+        result["hc_encode_gbps"] = runs["encode_hc"]["gbps"]
     if "parallel_efficiency" in runs.get("scaling", {}):
         result["scaling"] = runs["scaling"]
     if "gbps" in runs.get("block1m", {}):
@@ -490,8 +442,104 @@ def main():
                                                v.get("error",
                                                      v.get("skipped")))))
                       for k, v in runs.items()}
+    if partial:
+        result["partial"] = True
     result["wall_s"] = round(time.time() - t_start, 1)
-    print(json.dumps(result))
+    return result
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--impl="):
+        impl = sys.argv[1].split("=", 1)[1]
+        if impl == "scaling":
+            _run_scaling()
+        else:
+            _run_impl(impl)
+        return 0
+
+    t_start = time.time()
+    # Hard total wall budget: stages that would start with too little
+    # time left are skipped so the run always finishes and reports
+    # (BENCH_TOTAL_BUDGET seconds; per-stage envs clamp individual
+    # stages within it).
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1200"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    partial_path = os.environ.get(
+        "BENCH_PARTIAL_FILE", os.path.join(here, "bench_partial.jsonl"))
+    # Decode first (the headline metric), then encode, then the
+    # auxiliary rows — a budget-truncated run degrades from the least
+    # important stage backwards.
+    stages = [
+        ("vector", int(os.environ.get("BENCH_TIMEOUT_VECTOR", "700"))),
+        ("encode", int(os.environ.get("BENCH_TIMEOUT_ENCODE", "420"))),
+        ("encode_hc", int(os.environ.get("BENCH_TIMEOUT_ENCODE", "420"))),
+        ("scaling", int(os.environ.get("BENCH_TIMEOUT_SCALING", "420"))),
+        ("corpus", int(os.environ.get("BENCH_TIMEOUT_CORPUS", "300"))),
+        ("block1m", int(os.environ.get("BENCH_TIMEOUT_BLOCK1M", "300"))),
+        ("pallas", int(os.environ.get("BENCH_TIMEOUT_PALLAS", "300"))),
+    ]
+    runs = {}
+    try:
+        partial_f = open(partial_path, "a", buffering=1)
+    except OSError:
+        partial_f = None
+
+    def emit(obj):
+        line = json.dumps(obj)
+        print(line, flush=True)
+        if partial_f is not None:
+            partial_f.write(line + "\n")
+            partial_f.flush()
+
+    for impl, budget in stages:
+        if impl == "pallas" and "gbps" in runs.get("vector", {}):
+            # the sequencer kernel is the decode fallback; skip it ONLY
+            # when the vector DECODE run produced a number (encode gbps
+            # must not mask a decode regression — round-2 headline bug)
+            runs[impl] = {"skipped": "vector succeeded"}
+            continue
+        remaining = total_budget - (time.time() - t_start)
+        if remaining < 60:
+            runs[impl] = {"skipped": f"total budget ({total_budget}s) "
+                                     "exhausted"}
+            continue
+        budget = int(min(budget, remaining))
+        env = dict(os.environ)
+        if impl == "scaling":
+            # virtual 8-device CPU mesh (one real chip is available).
+            # Some deployments inject a sitecustomize that initialises
+            # an accelerator backend at interpreter start, which makes
+            # XLA ignore the forced-host device count; set
+            # LZ4NET_BENCH_STRIP_PYTHONPATH to a substring and matching
+            # PYTHONPATH entries are dropped for this subprocess.
+            strip = env.get("LZ4NET_BENCH_STRIP_PYTHONPATH", "")
+            env.update(JAX_PLATFORMS="cpu",
+                       XLA_FLAGS=(env.get("XLA_FLAGS", "")
+                                  + " --xla_force_host_platform_device"
+                                    "_count=8"),
+                       PYTHONPATH=os.pathsep.join(
+                           p for p in env.get("PYTHONPATH", "").split(
+                               os.pathsep)
+                           if not (strip and strip in p)))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--impl={impl}"],
+                capture_output=True, text=True, timeout=budget, env=env,
+                cwd=here)
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+            runs[impl] = json.loads(line) if line.startswith("{") else \
+                {"error": (proc.stderr or "no output")[-160:]}
+        except subprocess.TimeoutExpired:
+            runs[impl] = {"error": f"timeout after {budget}s"}
+        except Exception as exc:  # noqa: BLE001
+            runs[impl] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
+        emit({"stage": impl, **runs[impl]})
+        emit(_headline(runs, t_start, partial=True))
+
+    final = _headline(runs, t_start, partial=False)
+    emit(final)
+    if partial_f is not None:
+        partial_f.close()
     return 0
 
 

@@ -57,8 +57,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _interpret() -> bool:
-    """Interpret off-TPU.  Checked via device_kind, not platform: the
-    remote-TPU plugin on this stack registers platform name "axon"."""
+    """Interpret off-TPU.  Checked via device_kind, not platform: some
+    remote-TPU plugins register a platform name other than "tpu"."""
     d = jax.devices()[0]
     return not ("TPU" in d.device_kind.upper() or d.platform == "tpu")
 

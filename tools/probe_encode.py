@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Dispatch-differenced end-to-end device-encode timing (one batch).
 
-Usage: PYTHONPATH=.:.../.axon_site python tools/probe_encode.py [hc]
+Usage: PYTHONPATH=. python tools/probe_encode.py [hc]  (run from the
+repo root with the TPU plugin active)
 Env: LZ4NET_FUSED / LZ4NET_HASH_IMPL forwarded to the pipeline.
 """
 import os

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Time the hash-candidate kernel on chip, whole and in parts.
 
-Usage: PYTHONPATH=.:.../axon_site python tools/probe_hash.py [parts]
+Usage: PYTHONPATH=. python tools/probe_hash.py [parts]  (run from the
+repo root with the TPU plugin active)
 
 LZ4NET_HASH_PROBE selects a stripped kernel variant so the per-phase
 cost of the chunk loop is measurable on silicon:
