@@ -188,6 +188,64 @@ def _xor_match_bytes_rev(wa, wb):
                             jnp.where(diff != 0, 3, 4))))
 
 
+def _top_offsets_select(off, far, top_offsets, sub_step):
+    """Dominant far offsets by frequency of the subsampled offset
+    stream: sort + run-count + top_k (a [B, D/sub] sort is ~16x smaller
+    than the depth-65536 scatter histogram it replaces).  Returns
+    dks [B, top_offsets] int32 (0 marks an unused slot)."""
+    B = off.shape[0]
+    sub = slice(None, None, sub_step)
+    sub_far = far[:, sub]
+    import os as _os
+    if _os.environ.get("LZ4NET_TOPOFF") == "hist":   # A/B bisection
+        hist = scatter_add_planes(
+            jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
+            sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
+        _, dks = jax.lax.top_k(hist, top_offsets)
+        return dks
+    subv = jnp.where(sub_far, off[:, sub], 0)
+    sv = jax.lax.sort(subv, dimension=-1)
+    K = sv.shape[-1]
+    kk = jnp.arange(K, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
+    start_next = jnp.where(
+        jnp.concatenate([is_start[:, 1:],
+                         jnp.ones((B, 1), bool)], axis=1),
+        kk[None, :] + 1, jnp.int32(K))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_next, axis=-1),
+                                  axis=1), axis=-1)
+    cnt = jnp.where(is_start & (sv > 0), nxt - kk[None, :], -1)
+    _, ti = jax.lax.top_k(cnt, top_offsets)
+    dks = jnp.take_along_axis(sv, ti, axis=-1)
+    return dks * (jnp.take_along_axis(cnt, ti, axis=-1) > 0)
+
+
+def _match_lengths_dispatch(x, u32, prev, m8, end_abs, blk_len, D, rcap,
+                            top_offsets=TOP_OFFSETS, sub_step=16,
+                            ext_rounds=EXT_ROUNDS, fused=False):
+    """Route E2 to the Pallas megakernel on TPU (one kernel per block,
+    `ops/mlen_kernel.py`) or the multi-op XLA formulation elsewhere.
+    Bit-identical results (tests/test_mlen_kernel.py)."""
+    import os as _os
+    use_kernel = fused and D % 8192 == 0 and rcap % LANE == 0 \
+        and _os.environ.get("LZ4NET_MLEN_IMPL", "kernel") == "kernel" \
+        and _os.environ.get("LZ4NET_TOPOFF") is None
+    if not use_kernel:
+        return _match_lengths(x, u32, prev, m8, end_abs, blk_len, D,
+                              rcap, top_offsets=top_offsets,
+                              sub_step=sub_step, ext_rounds=ext_rounds,
+                              fused=fused)
+    from .mlen_kernel import match_lengths_fused
+    i = jnp.arange(D, dtype=jnp.int32)
+    off = i[None, :] - prev
+    far = (prev >= 0) & (off <= MAX_DISTANCE) & (off > 4)
+    dks = _top_offsets_select(off, far, top_offsets, sub_step)
+    return match_lengths_fused(x, u32, prev, m8.astype(jnp.int32), dks,
+                               end_abs, blk_len, D, rcap,
+                               ext_rounds=ext_rounds)
+
+
 def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
                    top_offsets=TOP_OFFSETS, sub_step=16,
                    ext_rounds=EXT_ROUNDS, fused=False):
@@ -253,32 +311,7 @@ def _match_lengths(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     # and counting runs — a [B, D/sub] sort is ~16x smaller than the
     # depth-65536 scatter histogram it replaces (2.8 ms/call on chip,
     # and _match_lengths runs once per HC candidate tier).
-    sub = slice(None, None, sub_step)
-    sub_far = far[:, sub]
-    import os as _os
-    if _os.environ.get("LZ4NET_TOPOFF") == "hist":   # A/B bisection
-        hist = scatter_add_planes(
-            jnp.clip(jnp.where(sub_far, off[:, sub], 0), 0, MAX_DISTANCE),
-            sub_far.astype(jnp.int32), MAX_DISTANCE + 1, bits=16)
-        _, dks = jax.lax.top_k(hist, top_offsets)
-        return _top_off_exact(x, i, far, off, mlen, matched, dks,
-                              top_offsets, end_abs, blk_len)
-    subv = jnp.where(sub_far, off[:, sub], 0)
-    sv = jax.lax.sort(subv, dimension=-1)
-    K = sv.shape[-1]
-    kk = jnp.arange(K, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((B, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
-    start_next = jnp.where(
-        jnp.concatenate([is_start[:, 1:],
-                         jnp.ones((B, 1), bool)], axis=1),
-        kk[None, :] + 1, jnp.int32(K))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(start_next, axis=-1),
-                                  axis=1), axis=-1)
-    cnt = jnp.where(is_start & (sv > 0), nxt - kk[None, :], -1)
-    _, ti = jax.lax.top_k(cnt, top_offsets)
-    dks = jnp.take_along_axis(sv, ti, axis=-1)
-    dks = dks * (jnp.take_along_axis(cnt, ti, axis=-1) > 0)
+    dks = _top_offsets_select(off, far, top_offsets, sub_step)
     return _top_off_exact(x, i, far, off, mlen, matched, dks,
                           top_offsets, end_abs, blk_len)
 
@@ -393,7 +426,7 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
         prev8 = _prev_occurrence((u32, u32s4))
         m8 = (prev8 >= 0) & (i[None, :] - prev8 <= MAX_DISTANCE)
         prev = jnp.where(m8, prev8, prev4)
-    matched, off_all, mlen_all = _match_lengths(
+    matched, off_all, mlen_all = _match_lengths_dispatch(
         x, u32, prev, m8, end_abs, data_len, D, rcap, fused=fused)
 
     import os
@@ -477,7 +510,7 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
             # the "first 8 bytes verified" claim must track which
             # candidate each position actually uses
             claim = (ok_t & verified8) | (~ok_t & m8)
-            m_t, off_t, ml_t = _match_lengths(
+            m_t, off_t, ml_t = _match_lengths_dispatch(
                 x, u32, jnp.where(ok_t, prev_t, prev),
                 claim, end_abs, data_len, D, rcap,
                 top_offsets=24, sub_step=8, fused=fused)
@@ -531,6 +564,37 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
     _e = _stage_exit("e2", mlen_all, B, O)
     if _e is not None:
         return _e
+
+    # E3+E4 in ONE Pallas kernel on TPU (ops/seq_kernel.py): parse
+    # chain, token compaction, literal runs, catch-up, merge and
+    # emission prep never leave VMEM.  The multi-op XLA formulation
+    # below remains the CPU/test path and the LZ4NET_SEQ_IMPL=xla A/B.
+    use_seq = fused and D % 8192 == 0 \
+        and os.environ.get("LZ4NET_SEQ_IMPL", "xla") == "kernel" \
+        and os.environ.get("LZ4NET_ENC_STAGE") not in ("e3", "e4")
+    if use_seq:
+        from .emit_kernel import emit_bytes
+        from .seq_kernel import sequence_records
+        s0k_f, litsrc_f, ll_f, offk_f, mlk_f, stats = sequence_records(
+            u32, matched.astype(jnp.int32), off_all, mlen_all,
+            end_abs, pre_len_arr, D, S_cap, P=P,
+            cu_rounds=2 if hc_level == 0 else 8)
+        n_seqs = stats[:, 0]
+        n_m = stats[:, 1]
+        out_len = stats[:, 2]
+        direct_o, cidx_o, emiss = emit_bytes(
+            s0k_f, litsrc_f, ll_f, offk_f, mlk_f, out_len, O)
+        is_lit_o = cidx_o >= 0
+        xp2, xsp2 = plane_split([(x, 8)])
+        lvals = plane_join(full_gather(
+            xp2, jnp.where(is_lit_o, cidx_o, 0)), xsp2)[0]
+        o_live = o[None, :] < out_len[:, None]
+        out = jnp.where(is_lit_o, lvals, direct_o) & 0xFF
+        out = out * o_live
+        ok = (n_seqs < S_cap) & (n_m < S_cap) & (emiss == 0)
+        aux = jnp.stack([stats[:, 3], stats[:, 4]], axis=1)
+        return out, out_len, ok, aux
+
     # E3 — greedy parse: chain-thread the "next token" graph
     nm = _next_match_at_or_after(matched, D)
     step = jnp.where(matched, mlen_all, 1)
@@ -770,8 +834,11 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
     import os as _os
     key = (x.shape, x.dtype, data_len.shape, pre_len is None,
            tuple(sorted(statics.items())),
-           _os.environ.get("LZ4NET_ENC_STAGE"))   # stage probes trace
-                                                  # different programs
+           # env knobs that select different traced programs
+           _os.environ.get("LZ4NET_ENC_STAGE"),
+           _os.environ.get("LZ4NET_SEQ_IMPL"),
+           _os.environ.get("LZ4NET_MLEN_IMPL"),
+           _os.environ.get("LZ4NET_TOPOFF"))
     fn = _AOT_CACHE.get(key)
     if fn is None:
         if pre_len is None:

@@ -150,9 +150,9 @@ def make_flat_kernel(B, nchunks, rows):
                 _pack_chunk_banded(res, B).reshape(B, CR // 4, LANE)
             return ok
 
-        jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
+        ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
         for b in range(B):
-            ok_ref[b, 0] = jnp.int32(1)
+            ok_ref[b, 0] = ok
     return kern
 
 
@@ -181,94 +181,9 @@ def resolve_flat(t0):
     return out.reshape(B, Dt), okk[:, 0]
 
 
-def make_stair_kernel(nchunks, rows):
-    """Production kernel + STAIRCASE cross-chunk value gather: chunk j
-    only ever references packed rows < j*(CR//4) (tc is clipped below
-    lo), so the select loop runs in CR//4-row segments each guarded by
-    pl.when(segment < j's row bound) — 9*144 rounds become sum(j*16)
-    = 576 executed rounds (2.25x fewer) while the unrolled program
-    stays fori-loop sized.  acc rides in a scratch ref because pl.when
-    regions cannot return values."""
-    PKR = rows // 4
-    SEGR = CR // 4
-
-    def kern(t0_ref, out_ref, ok_ref, pk_scr, acc_scr):
-        kloc = jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 0) * LANE \
-            + jax.lax.broadcasted_iota(jnp.int32, (CR, LANE), 1)
-
-        def body(j, ok):
-            t0 = t0_ref[0, pl.ds(j * CR, CR), :]
-            lo = j * CH
-            pend = (t0 < VFLAG) & (t0 >= lo)
-            n = jnp.where(pend, jnp.clip(t0 - lo, 0, CH - 1), kloc)
-            for _ in range(6):
-                n = _gather_sel(n, n)
-
-            def d_cond(st):
-                n, n2, r = st
-                return jnp.any(n2 != n) & (r < 13)
-
-            def d_body(st):
-                _, n, r = st
-                n1 = _gather_sel(n, n)
-                return n, _gather_sel(n1, n1), r + 2
-
-            _, n, _ = jax.lax.while_loop(
-                d_cond, d_body, (n, _gather_sel(n, n), jnp.int32(7)))
-
-            t = _gather_sel(t0, n)
-            tc = jnp.clip(t, 0, jnp.maximum(lo - 1, 0))
-            prow = tc >> 2
-            rowi = prow >> 7
-            lanei = prow & (LANE - 1)
-            acc_scr[:, :] = jnp.zeros((CR, LANE), jnp.int32)
-            need_rows = j * SEGR          # packed rows written so far
-            for seg in range(nchunks):
-                @pl.when(seg * SEGR < need_rows)
-                def _():
-                    acc = acc_scr[:, :]
-                    for r in range(seg * SEGR, (seg + 1) * SEGR):
-                        bc = jnp.broadcast_to(pk_scr[r:r + 1, :],
-                                              (CR, LANE))
-                        vals = jnp.take_along_axis(bc, lanei, axis=-1)
-                        acc = jnp.where(rowi == r, vals, acc)
-                    acc_scr[:, :] = acc
-            w = acc_scr[:, :]
-            cv = (w >> (8 * (tc & 3))) & 0xFF
-            res = jnp.where(t >= VFLAG, t - VFLAG, cv) & 0xFF
-            out_ref[0, pl.ds(j * CR, CR), :] = res
-            pk_scr[pl.ds(j * SEGR, SEGR), :] = _pack_chunk(res)
-            return ok
-
-        ok = jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
-        ok_ref[pl.program_id(0), 0] = ok
-    return kern
-
-
-@jax.jit
-def resolve_stair(t0):
-    B, Dt = t0.shape
-    nchunks = Dt // CH
-    rows = Dt // LANE
-    kern = make_stair_kernel(nchunks, rows)
-    out, okk = pl.pallas_call(
-        kern,
-        out_shape=(jax.ShapeDtypeStruct((B, rows, LANE), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 1), jnp.int32)),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, rows, LANE), lambda b: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((B, 1), lambda b: (0, 0),
-                                memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((rows // 4, LANE), jnp.int32),
-                        pltpu.VMEM((CR, LANE), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(t0.reshape(B, rows, LANE))
-    return out.reshape(B, Dt), okk[:, 0]
+# (the staircase variant was PROMOTED to production in round 4;
+# "stair" now dispatches to ops/resolve_kernel.resolve_wavefront
+# so this tool cannot silently diverge from the shipped kernel)
 
 
 def make_kernel(variant, nchunks):
@@ -356,12 +271,10 @@ def main():
         _, _, T0[i] = truth_state(blocks[i], seqs, Dt)
     t0d = jax.device_put(jnp.asarray(T0))
 
-    if variant == "base":
+    if variant in ("base", "stair"):     # stair == production now
         fn = lambda: resolve_wavefront(t0d, start_chunk=0)[0]
     elif variant == "flat":
         fn = lambda: resolve_flat(t0d)[0]
-    elif variant == "stair":
-        fn = lambda: resolve_stair(t0d)[0]
     else:
         fn = lambda: resolve_var(t0d, variant)[0]
 
