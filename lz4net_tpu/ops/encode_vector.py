@@ -570,7 +570,7 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
     # emission prep never leave VMEM.  The multi-op XLA formulation
     # below remains the CPU/test path and the LZ4NET_SEQ_IMPL=xla A/B.
     use_seq = fused and D % 8192 == 0 \
-        and os.environ.get("LZ4NET_SEQ_IMPL", "xla") == "kernel" \
+        and os.environ.get("LZ4NET_SEQ_IMPL", "kernel") == "kernel" \
         and os.environ.get("LZ4NET_ENC_STAGE") not in ("e3", "e4")
     if use_seq:
         from .emit_kernel import emit_bytes

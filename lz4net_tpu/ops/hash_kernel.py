@@ -393,6 +393,12 @@ def _hash_kernel(B, D, pos_planes, *refs):
 
 def _bucket_prev_pallas(wa, wb, h4, h8, D: int):
     B = wa.shape[0]
+    if B == 1:
+        # Mosaic's gather lowering rejects [1, 128] lane shuffles (the
+        # probe's take_along_axis); pad the batch and slice back
+        pad = lambda v: jnp.concatenate([v, v], axis=0)
+        return _bucket_prev_pallas(pad(wa), pad(wb), pad(h4), pad(h8),
+                                   D)[:1]
     if B > MAXB:
         parts = [
             _bucket_prev_pallas(wa[i:i + MAXB], wb[i:i + MAXB],

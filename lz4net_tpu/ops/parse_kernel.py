@@ -124,26 +124,17 @@ def _parse_kernel(C, comp_ref, cl_ref, mark_ref, ll_ref,
     for _ in range(6):
         nxt = _take_lane(H, H)          # H[q] in q's row ⇒ lane shuffle
         H = jnp.where(H < seg_end, nxt, H)
-    h_scr[:, :] = H
 
-    # ---- P3: thread the chain across segments -----------------------
-    # carry kept as a lanes-broadcast [8, LANE] vector (the [1, LANE]
-    # lane shuffle hits a Mosaic gather shape check); entries[s] is a
-    # full row (uniform across lanes), -1 where the chain skips seg s
-    def seg_body(s, v):
-        h8 = jnp.broadcast_to(h_scr[pl.ds(s, 1), :], (8, LANE))
-        lo = s * LANE
-        in_seg = (v >= lo) & (v < lo + LANE)
-        nxt = _take_lane(h8, v)
-        e_scr[pl.ds(s, 1), :] = jnp.where(in_seg, v, jnp.int32(-1))[:1]
-        return jnp.where(in_seg, nxt, v)
-
-    v0 = jnp.zeros((8, LANE), jnp.int32)
-    jax.lax.fori_loop(0, Cr, seg_body, v0)
+    # ---- P3: two-level chain threading (Cr/8 sequential steps) ------
+    # supersegment-exit doubling + carry walk + vectorised in-
+    # supersegment row walk (seq_kernel.thread_entries_two_level); the
+    # previous flat row walk was Cr fori iterations and dominated this
+    # kernel's on-chip cost
+    from .seq_kernel import thread_entries_two_level
+    pos = thread_entries_two_level(H, g, h_scr, e_scr, Cr)
 
     # ---- P4: mark all chain positions, segments in parallel ---------
     seg_start = r_iota * LANE
-    pos = e_scr[:, :]
     mark = jnp.zeros((Cr, LANE), jnp.int32)
     for _ in range(_cdiv(LANE, 3) + 1):
         valid = (pos >= seg_start) & (pos < seg_start + LANE)

@@ -111,6 +111,81 @@ def _slot_shift_right(arr, fill):
     return jnp.where(first, fill, y)
 
 
+def thread_entries_two_level(H, g, h2_scr, e2_scr, R):
+    """Per-segment chain entries (rows uniform across lanes; -1 where
+    the chain skips the segment) with R//SS sequential steps instead of
+    the flat walk's R (`chain_kernel.py` P3 / `parse_kernel.py` P3):
+
+    1. supersegment exits H2 by TRUE pointer doubling (H2[H2]) on the
+       1024-position supersegment criterion — 3 rounds cover SS rows;
+    2. a fori carry walk over the R//SS supersegments (one H2 lookup
+       each), recording supersegment entries;
+    3. a vectorised SS-hop walk along H inside every supersegment at
+       once (each hop lands on the next visited row's entry), spreading
+       entries to rows.
+
+    H: post-P2 row-exit table; g: the raw chain (unused here but kept
+    for signature clarity with P4, which walks g from these entries).
+    h2_scr: [R, LANE] scratch; e2_scr: scratch with >= R//SS rows.
+    Requires R % SS == 0."""
+    del g
+    NS = R // SS
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+    super_end = ((r_iota >> 3) + 1) * (SS * LANE)
+
+    def at_super(tbl, v):
+        """tbl[v] for v within the query row's own supersegment."""
+        t3 = tbl.reshape(NS, SS, LANE)
+        d_cur = (v >> 7) & (SS - 1)
+        acc = jnp.zeros_like(v)
+        for dd in range(SS):
+            src = jnp.broadcast_to(t3[:, dd, :][:, None, :],
+                                   (NS, SS, LANE)).reshape(R, LANE)
+            acc = jnp.where(d_cur == dd, _take_lane(src, v), acc)
+        return acc
+
+    H2 = H
+    for _ in range(3):
+        H2 = jnp.where(H2 < super_end, at_super(H2, H2), H2)
+    h2_scr[:, :] = H2
+
+    def super_body(s, v):
+        h8 = h2_scr[pl.ds(s * SS, SS), :]
+        lo = s * SS * LANE
+        in_sup = (v >= lo) & (v < lo + SS * LANE)
+        d_cur = (v >> 7) & (SS - 1)
+        nxt = jnp.zeros_like(v)
+        for dd in range(SS):
+            nxt = jnp.where(
+                d_cur == dd,
+                _take_lane(jnp.broadcast_to(h8[dd:dd + 1, :],
+                                            (SS, LANE)), v), nxt)
+        e2_scr[pl.ds(s, 1), :] = jnp.where(in_sup, v,
+                                           jnp.int32(-1))[:1]
+        return jnp.where(in_sup, nxt, v)
+
+    jax.lax.fori_loop(0, NS, super_body,
+                      jnp.zeros((SS, LANE), jnp.int32))
+
+    h3 = H.reshape(NS, SS, LANE)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (NS, LANE), 0)
+    cur = e2_scr[0:NS, :]
+    ent = [jnp.full((NS, LANE), -1, jnp.int32) for _ in range(SS)]
+    for _hop in range(SS):
+        in_sup = (cur >= s_iota * SS * LANE) \
+            & (cur < (s_iota + 1) * SS * LANE)
+        d_cur = (cur >> 7) & (SS - 1)
+        nxt = jnp.zeros_like(cur)
+        for dd in range(SS):
+            ent[dd] = jnp.where((d_cur == dd) & in_sup & (ent[dd] < 0),
+                                cur, ent[dd])
+            nxt = jnp.where(d_cur == dd,
+                            _take_lane(h3[:, dd, :], cur), nxt)
+        cur = jnp.where(in_sup, nxt, cur)
+    # interleave entries back: segment S*SS + dd gets ent[dd] row S
+    return jnp.stack(ent, axis=1).reshape(R, LANE)
+
+
 def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     (u32_ref, matched_ref, off_ref, mlen_ref, ea_ref, pre_ref,
      s0k_ref, litsrc_ref, ll_ref, offk_ref, mlk_ref, stats_ref,
@@ -125,6 +200,22 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     b = pl.program_id(0)
     end_abs = ea_ref[b, 0]
     pre_len = pre_ref[b, 0]
+
+    # tools/probe_seq.py: cumulative early exit after a phase
+    # (LZ4NET_SEQ_PROBE=upto:<g|chain|tok|cu|merge|kidx>)
+    import os as _os
+    _probe = _os.environ.get("LZ4NET_SEQ_PROBE", "")
+
+    def _exit_with(feed):
+        s = jnp.sum(feed.astype(jnp.int32)) & 0
+        z = jnp.zeros((SRK, LANE), jnp.int32) + s
+        s0k_ref[0] = z + jnp.int32(BIGKEY)
+        litsrc_ref[0] = z
+        ll_ref[0] = z
+        offk_ref[0] = z
+        mlk_ref[0] = z
+        for c in range(8):
+            stats_ref[b, c] = s
 
     matched = matched_ref[0]
     ml_all = jnp.clip(mlen_ref[0], 0, D)
@@ -167,6 +258,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     nm_at_end = jnp.where(tgtf >= D, jnp.int32(D), g_scr[:, :])
     g = jnp.where(matched == 1, nm_at_end, nm)
     g = jnp.maximum(g, i_flat + 1)
+    if _probe == "upto:g":
+        return _exit_with(g)
 
     # ---- E3c: chain threading (P2 + two-level P3 + P4) --------------
     seg_end = (r_iota + 1) * LANE
@@ -174,66 +267,7 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     for _ in range(6):
         H = jnp.where(H < seg_end, _take_lane(H, H), H)
 
-    # supersegment exits: <= SS segment hops collapse in 3 doublings;
-    # lookups of H at in-supersegment positions use strided-row views
-    NS = R // SS
-    h3 = H.reshape(NS, SS, LANE)
-    super_end = ((r_iota >> 3) + 1) * (SS * LANE)
-
-    def h_at_super(v):
-        """H[v] for v within the query row's own supersegment."""
-        d_cur = (v >> 7) & (SS - 1)
-        acc = jnp.zeros_like(v)
-        for dd in range(SS):
-            src = jnp.broadcast_to(h3[:, dd, :][:, None, :],
-                                   (NS, SS, LANE)).reshape(R, LANE)
-            acc = jnp.where(d_cur == dd, _take_lane(src, v), acc)
-        return acc
-
-    H2 = H
-    for _ in range(3):
-        H2 = jnp.where(H2 < super_end, h_at_super(H2), H2)
-    h2_scr[:, :] = H2
-
-    def super_body(s, v):
-        h8 = h2_scr[pl.ds(s * SS, SS), :]
-        lo = s * SS * LANE
-        in_sup = (v >= lo) & (v < lo + SS * LANE)
-        d_cur = (v >> 7) & (SS - 1)
-        nxt = jnp.zeros_like(v)
-        for dd in range(SS):
-            nxt = jnp.where(
-                d_cur == dd,
-                _take_lane(jnp.broadcast_to(h8[dd:dd + 1, :],
-                                            (SS, LANE)), v), nxt)
-        e_scr[pl.ds(s, 1), :] = jnp.where(in_sup, v, jnp.int32(-1))[:1]
-        return jnp.where(in_sup, nxt, v)
-
-    jax.lax.fori_loop(0, NS, super_body,
-                      jnp.zeros((SS, LANE), jnp.int32))
-
-    # vectorised in-supersegment walk: entries per SEGMENT, all
-    # supersegments at once.  Hops follow H (the row-exit table), so
-    # each hop lands on the NEXT visited row's entry — SS hops cover
-    # the SS rows of a supersegment; walking the raw chain g here
-    # would advance only ~MINMATCH positions per hop and miss rows.
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (NS, LANE), 0)
-    cur = e_scr[:, :]
-    ent = [jnp.full((NS, LANE), -1, jnp.int32) for _ in range(SS)]
-    for _hop in range(SS):
-        in_sup = (cur >= s_iota * SS * LANE) \
-            & (cur < (s_iota + 1) * SS * LANE)
-        d_cur = (cur >> 7) & (SS - 1)
-        nxt = jnp.zeros_like(cur)
-        for dd in range(SS):
-            ent[dd] = jnp.where((d_cur == dd) & in_sup & (ent[dd] < 0),
-                                cur, ent[dd])
-            nxt = jnp.where(d_cur == dd,
-                            _take_lane(h3[:, dd, :], cur), nxt)
-        cur = jnp.where(in_sup, nxt, cur)
-    # interleave entries back to one uniform row per segment:
-    # segment S*SS + dd gets ent[dd] row S
-    e3v = jnp.stack(ent, axis=1).reshape(R, LANE)
+    e3v = thread_entries_two_level(H, g, h2_scr, e_scr, R)
 
     seg_start = r_iota * LANE
     pos = e3v
@@ -245,6 +279,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
         nxt = _take_lane(g, pos)
         pos = jnp.where(valid, nxt, jnp.int32(BIG))
     mark = mark * matched
+    if _probe == "upto:chain":
+        return _exit_with(mark)
 
     # ---- E4a: token compaction ---------------------------------------
     rank = _scan1d(mark, jnp.add, 0)
@@ -301,6 +337,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
         (jnp.minimum(n_seqs, S_cap) + SCH * LANE - 1) // (SCH * LANE),
         0, SRK // SCH)
     jax.lax.fori_loop(0, n_tok_chunks, tok_chunk, 0)
+    if _probe == "upto:tok":
+        return _exit_with(tok_scr[:, :])
 
     # ---- E4b: literal runs (slot-domain arithmetic) ------------------
     tok = tok_scr[:, :]
@@ -347,6 +385,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     jax.lax.fori_loop(0, n_tok_chunks, cu_chunk, 0)
     lit_len = litln_scr[:, :]
     mlen_s = mls_scr[:, :]
+    if _probe == "upto:cu":
+        return _exit_with(lit_len + mlen_s)
 
     # ---- E4d: contiguous same-offset merge ---------------------------
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (SRK, LANE), 0) * LANE \
@@ -371,6 +411,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     mcum_last = _gsel_ref(lambda lo, n: mc_scr[pl.ds(lo, n), :],
                           last, SRK)
     merged_mlen = mcum_last - (mcum - mlen_s)
+    if _probe == "upto:merge":
+        return _exit_with(merged_mlen)
 
     # ---- E4e: compaction of merged records ---------------------------
     keep = (is_start & valid).astype(jnp.int32)
@@ -425,6 +467,8 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
         (jnp.minimum(n_m, S_cap) + SCH * LANE - 1) // (SCH * LANE),
         0, SRK // SCH)
     jax.lax.fori_loop(0, n_m_chunks, kidx_chunk, 0)
+    if _probe == "upto:kidx":
+        return _exit_with(mml_scr[:, :])
 
     # ---- E4f: final literal tail, sizes, output offsets --------------
     valid_m = mtok_scr[:, :] < S_cap
@@ -471,6 +515,15 @@ def _seq_kernel(D, S_cap, P, cu_rounds, statics, *refs):
     stats_ref[b, 5] = tail_start
     stats_ref[b, 6] = 0
     stats_ref[b, 7] = 0
+
+    import os as _os
+    if _os.environ.get("LZ4NET_SEQ_DEBUG") == "chain" and R <= SRK:
+        # debugging tap: expose chain intermediates via the outputs
+        s0k_ref[0, 0:R, :] = mark
+        litsrc_ref[0, 0:R, :] = g
+        ll_ref[0, 0:R, :] = e3v
+        offk_ref[0, 0:R, :] = H2
+        mlk_ref[0, 0:R, :] = H
 
 
 @functools.partial(jax.jit,
