@@ -157,6 +157,100 @@ def _prev_occurrence(keys):
     return prev
 
 
+def _suffix_candidates(keys):
+    """Best earlier-position match candidate per position from
+    suffix-sort adjacency — the TPU-native replacement for the
+    reference HC chain walk (`original/lz4hc.c:358-460`).
+
+    ONE stable multi-key sort orders positions by their leading
+    4*len(keys)-byte prefix; in that order the longest-common-prefix
+    match of any position is ADJACENT (the suffix-array LCP argument),
+    so three cheap streams dominate the per-width candidate tiers:
+
+      A: the sort-order predecessor (if at an earlier position) —
+         equals the widest prefix tier that hits, at every width at
+         once, with stability giving the NEAREST earlier occurrence;
+      B: the sort-order successor (if earlier) — the case where the
+         best LCP neighbour sorts after the query;
+      C/D: the minimum-position entry over the sorted prefix/suffix,
+         with its LCP maintained by an associative scan over adjacent
+         LCPs (range-min composition) — the `_first_occurrence` far
+         candidates.
+
+    The best of the four by LCP (ties: nearest) comes back in
+    position order.  Returns (cand [B, D] position-or--1,
+    lcp4 [B, D] common prefix in 4-byte words, 0..len(keys))."""
+    B, D = keys[0].shape
+    K = len(keys)
+    INF = jnp.int32(K + 1)
+    i = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32)[None, :],
+                         keys[0].shape)
+    sorted_ = jax.lax.sort(tuple(keys) + (i,), dimension=-1, num_keys=K)
+    pos_s = sorted_[-1]
+    still = jnp.ones((B, D - 1), bool)
+    acc = jnp.zeros((B, D - 1), jnp.int32)
+    for ks in sorted_[:-1]:
+        still = still & (ks[:, 1:] == ks[:, :-1])
+        acc = acc + still
+    edge = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), acc], axis=1)
+
+    def minpos_scan(pos_v, edge_v):
+        # per-element value (mp, ml, tm): minimum position in the
+        # segment, LCP from that entry to the segment's right edge,
+        # and the min over the segment's edges (incl. the first
+        # element's entering edge, which is exactly the junction edge
+        # when the segment is a combine's right operand)
+        def comb(a, b):
+            mpa, mla, tma = a
+            mpb, mlb, tmb = b
+            take_a = mpa <= mpb
+            return (jnp.minimum(mpa, mpb),
+                    jnp.where(take_a, jnp.minimum(mla, tmb), mlb),
+                    jnp.minimum(tma, tmb))
+        return jax.lax.associative_scan(
+            comb, (pos_v, jnp.full_like(pos_v, INF), edge_v), axis=1)
+
+    mp, ml, _ = minpos_scan(pos_s, edge)
+    # exclusive: prefix [0..k-1], then extend over edge k
+    mpx = jnp.concatenate(
+        [jnp.full((B, 1), jnp.int32(1 << 30)), mp[:, :-1]], axis=1)
+    mlx = jnp.minimum(jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ml[:, :-1]], axis=1), edge)
+    # reverse direction (min-position entry among sort-order successors)
+    edge_r = jnp.flip(jnp.concatenate(
+        [edge[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1), axis=1)
+    mpr, mlr, _ = minpos_scan(jnp.flip(pos_s, axis=1), edge_r)
+    mpr = jnp.flip(mpr, axis=1)
+    mlr = jnp.flip(mlr, axis=1)
+    mpy = jnp.concatenate(
+        [mpr[:, 1:], jnp.full((B, 1), jnp.int32(1 << 30))], axis=1)
+    edge_n = jnp.concatenate(
+        [edge[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    mly = jnp.minimum(jnp.concatenate(
+        [mlr[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1), edge_n)
+
+    cands = (
+        (jnp.concatenate([jnp.full((B, 1), -1, jnp.int32),
+                          pos_s[:, :-1]], axis=1), edge),          # A
+        (jnp.concatenate([pos_s[:, 1:],
+                          jnp.full((B, 1), -1, jnp.int32)], axis=1),
+         edge_n),                                                  # B
+        (mpx, mlx),                                                # C
+        (mpy, mly),                                                # D
+    )
+    best_p = jnp.full((B, D), -1, jnp.int32)
+    best_l = jnp.zeros((B, D), jnp.int32)
+    for cp, cl in cands:
+        ok = (cp >= 0) & (cp < pos_s) & (cl >= 1)
+        better = ok & ((cl > best_l) | ((cl == best_l) & (cp > best_p)))
+        best_p = jnp.where(better, cp, best_p)
+        best_l = jnp.where(better, cl, best_l)
+    # back to position order (the position column is a permutation)
+    _, cand, lcp4 = jax.lax.sort((pos_s, best_p, best_l), dimension=-1,
+                                 num_keys=1)
+    return cand, lcp4
+
+
 def _run_lengths(eq):
     """run[i] = length of the run of True starting at i (suffix scan)."""
     Dn = eq.shape[-1]
@@ -410,12 +504,30 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
     # HC levels (two extra stable sorts each).
     u32 = _u32(x)
     u32s4 = jnp.concatenate([u32[:, 4:], jnp.zeros_like(u32[:, :4])], axis=1)
-    if hc_level == 0:
-        # fast mode: the reference's own candidate structure — two
-        # per-block 8K-bucket hash tables in VMEM (ops/hash_kernel.py,
-        # 4- and 8-byte prefixes standing in for the prev4/prev8 sort
-        # tiers), replacing four corpus-wide stable sorts on chip.
-        # Candidates are u32-verified in-kernel, the prev4 contract.
+    import os
+    _dbg = os.environ.get("LZ4NET_HC_DEBUG", "")
+    _tiers = os.environ.get("LZ4NET_HC_TIERS", "")
+    # HC tier policy by level, mirroring the reference's level knob
+    # (`constants.hc_level_attempts`: level -> chain-walk budget):
+    # levels 8-9 run the EXACT sort tiers (one sort + one match-length
+    # dispatch per width tier — full-fidelity search, ratio-optimal);
+    # levels 1-7 run the SUFFIX-ADJACENCY tiers (`_suffix_candidates`:
+    # one multi-key sort, every width at once) with ONE merged
+    # match-length dispatch — the throughput operating point.  "hash"
+    # selects the bucket-table tiers (ops/hash_kernel.hc_candidates) —
+    # cheaper than either but table capacity costs ratio on 64 KB
+    # blocks.  All paths are platform-deterministic;
+    # LZ4NET_HC_TIERS=suffix|hash|sort overrides the level policy.
+    hc_mode = _tiers if _tiers in ("suffix", "hash", "sort") \
+        else ("sort" if hc_level >= 8 else "suffix")
+    hc_exact = hc_level > 0 and hc_mode == "sort"
+    if not hc_exact:
+        # fast mode + hash-HC: the reference's own candidate structure
+        # — two per-block 8K-bucket hash tables in VMEM
+        # (ops/hash_kernel.py, 4- and 8-byte prefixes standing in for
+        # the prev4/prev8 sort tiers), replacing four corpus-wide
+        # stable sorts on chip.  Candidates are u32-verified
+        # in-kernel, the prev4 contract.
         from .hash_kernel import (bucket_prev_impl, hash_bucket,
                                   hash_bucket8)
         prev = bucket_prev_impl(u32, u32s4, hash_bucket(u32),
@@ -429,82 +541,142 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
     matched, off_all, mlen_all = _match_lengths_dispatch(
         x, u32, prev, m8, end_abs, data_len, D, rcap, fused=fused)
 
-    import os
-    _dbg = os.environ.get("LZ4NET_HC_DEBUG", "")
     if hc_level > 0:
+
         def shift32(w, nbytes):
             return jnp.concatenate(
                 [w[:, nbytes:], jnp.zeros_like(w[:, :nbytes])], axis=1)
 
-        # candidate sets standing in for the chain walk: nearest + 2nd
-        # nearest 8-byte-prefix occurrence, then 12/16/32-byte prefixes
+        # byte-run geometry (shared by both tier paths): at the first
+        # byte of a byte-run the nearest prefix occurrence lands
+        # mid-run in an EARLIER run (short LCP), and the off=1 RLE
+        # match only starts one byte later — so prefix tiers
+        # systematically lose the run's first byte to a literal.  The
+        # reference's chain walk finds the earlier run START
+        # (`lz4hc.c:394-460` searches all 256 chain hops).
+        eq_next = jnp.concatenate(
+            [x[:, :-1] == x[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+        run_fwd = 1 + _run_lengths(eq_next)
+        prev_byte = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), x[:, :-1]], axis=1)
+        is_rs = (run_fwd >= MINMATCH) & (x != prev_byte)
+
+        def inject_run(cand_rs, ml_bound, state):
+            """Inject an analytic run match (candidate + length lower
+            bound) into (matched, off_all, mlen_all), honoring the
+            format end rules."""
+            matched, off_all, mlen_all = state
+            ok_r = is_rs & (cand_rs >= 0) \
+                & (i[None, :] - cand_rs <= MAX_DISTANCE)
+            limit_r = end_abs[:, None] - LASTLITERALS - i[None, :]
+            ml_r = jnp.minimum(ml_bound, jnp.maximum(limit_r, 0))
+            ok_r = ok_r & (ml_r >= MINMATCH) \
+                & (i[None, :] <= end_abs[:, None] - MFLIMIT) \
+                & (data_len[:, None] >= MINLENGTH)
+            better = ok_r & (ml_r > mlen_all)
+            return (matched | better,
+                    jnp.where(better, i[None, :] - cand_rs, off_all),
+                    jnp.where(better, ml_r, mlen_all))
+
         cand_sets = []
-        p8b = prev8              # same keys as the base 8-byte tier
-                                 # (was a duplicated 2-sort call)
-        # +1 bias so "no predecessor" (-1) stays distinguishable through
-        # the gather (a clamped -1 would fabricate position 0 as a
-        # verified candidate)
-        pp8, psp8 = plane_split([(p8b + 1, 18)])
-        p8_2 = plane_join(full_gather(pp8, jnp.maximum(p8b, 0)),
-                          psp8)[0] - 1
-        p8_2 = jnp.where((p8b >= 0) & (p8_2 >= 0), p8_2, -1)
-        if "no2nd" not in _dbg:
-            cand_sets.append((p8_2, True))              # 2nd-nearest 8B
-        if "nofirst" not in _dbg:
-            cand_sets.append((_first_occurrence((u32, u32s4)), True))
-            # 2nd-nearest 4-byte occurrence (LCP verified from byte 4)
-            pp4, psp4 = plane_split([(prev4 + 1, 18)])
-            p4_2 = plane_join(full_gather(pp4, jnp.maximum(prev4, 0)),
-                              psp4)[0] - 1
-            p4_2 = jnp.where((prev4 >= 0) & (p4_2 >= 0), p4_2, -1)
-            cand_sets.append((p4_2, False))
-        if "no12" not in _dbg:
-            cand_sets.append((_prev_occurrence(
-                (u32, u32s4, shift32(u32, 8))), True))  # 12-byte prefix
-        if "no16" not in _dbg:
-            cand_sets.append((_prev_occurrence(
-                (u32, u32s4, shift32(u32, 8), shift32(u32, 12))), True))
-        if hc_level >= 2 and "no32" not in _dbg:
-            cand_sets.append((_prev_occurrence(
-                (u32, u32s4, shift32(u32, 8), shift32(u32, 12),
-                 shift32(u32, 16), shift32(u32, 20), shift32(u32, 24),
-                 shift32(u32, 28))), True))             # 32-byte prefix
-        if "norun" not in _dbg:
-            # run-start candidates: at the first byte of a byte-run the
-            # nearest prefix occurrence lands mid-run in an EARLIER run
-            # (short LCP), and the off=1 RLE match only starts one byte
-            # later — so prefix tiers systematically lose the run's
-            # first byte to a literal.  The reference's chain walk finds
-            # the earlier run START (`lz4hc.c:394-460` searches all 256
-            # chain hops).  Analytically: candidate = previous run-start
-            # of the same byte (one sort per tier); its LCP is
-            # min(run_i, run_j) exactly when the runs differ in length
-            # and a lower bound otherwise — injected directly so the
-            # far-match extension cap cannot truncate it.
-            eq_next = jnp.concatenate(
-                [x[:, :-1] == x[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
-            run_fwd = 1 + _run_lengths(eq_next)
-            prev_byte = jnp.concatenate(
-                [jnp.full((B, 1), -1, jnp.int32), x[:, :-1]], axis=1)
-            is_rs = (run_fwd >= MINMATCH) & (x != prev_byte)
-            rp, rsp = plane_split([(run_fwd, 17)])
-            for min_run in (MINMATCH, 16, 64):
-                keyr = jnp.where(is_rs & (run_fwd >= min_run), x, 300)
-                prev_rs = _prev_occurrence((keyr,))
-                ok_r = is_rs & (prev_rs >= 0) \
-                    & (i[None, :] - prev_rs <= MAX_DISTANCE)
+        if not hc_exact:
+            from .hash_kernel import hc_candidates
+            in_w = lambda c: (c >= 0) \
+                & (i[None, :] - c <= MAX_DISTANCE)
+            if hc_mode == "suffix":
+                # ---- suffix-adjacency tiers, one merged dispatch ----
+                ws = (u32, u32s4) + tuple(
+                    shift32(u32, 4 * k) for k in range(2, 8))
+                deep, _slcp = _suffix_candidates(ws)
+                merged = jnp.where(in_w(deep), deep, -1)
+                _, _, run_cands = hc_candidates(
+                    x, u32, u32s4, is_rs, run_fwd, D, tables="runs")
+            else:
+                # ---- bucket-table tiers, one merged dispatch ----
+                deep, first_c, run_cands = hc_candidates(
+                    x, u32, u32s4, is_rs, run_fwd, D)
+                if "no2nd" not in _dbg:
+                    # 2nd-nearest: one chain hop through the base prev
+                    ppc, pspc = plane_split([(prev + 1, 18)])
+                    prev2 = plane_join(
+                        full_gather(ppc, jnp.maximum(prev, 0)),
+                        pspc)[0] - 1
+                    prev2 = jnp.where((prev >= 0) & (prev2 >= 0),
+                                      prev2, -1)
+                else:
+                    prev2 = jnp.full_like(prev, -1)
+                if "nofirst" in _dbg:
+                    first_c = jnp.full_like(prev, -1)
+                merged = jnp.where(
+                    in_w(deep), deep,
+                    jnp.where(in_w(first_c), first_c,
+                              jnp.where(in_w(prev2), prev2, -1)))
+            if "nodeep" not in _dbg:
+                cand_sets.append((merged, False))
+            if "norun" not in _dbg:
+                # priority: widest min-run tier that hit; its length
+                # bound is min(run_i, run_j) (valid by the u32 verify:
+                # the candidate starts >= 4 bytes of the same value)
+                r4c, r16c, r64c = run_cands
+                rc = jnp.where(in_w(r64c), r64c,
+                               jnp.where(in_w(r16c), r16c, r4c))
+                rp, rsp = plane_split([(run_fwd, 17)])
                 run_j = plane_join(full_gather(
-                    rp, jnp.maximum(prev_rs, 0)), rsp)[0]
-                ml_r = jnp.minimum(run_fwd, run_j)
-                limit_r = end_abs[:, None] - LASTLITERALS - i[None, :]
-                ml_r = jnp.minimum(ml_r, jnp.maximum(limit_r, 0))
-                ok_r = ok_r & (ml_r >= MINMATCH) \
-                    & (i[None, :] <= end_abs[:, None] - MFLIMIT) \
-                    & (data_len[:, None] >= MINLENGTH)
-                better = ok_r & (ml_r > mlen_all)
-                matched = matched | better
-                off_all = jnp.where(better, i[None, :] - prev_rs, off_all)
-                mlen_all = jnp.where(better, ml_r, mlen_all)
+                    rp, jnp.maximum(rc, 0)), rsp)[0]
+                matched, off_all, mlen_all = inject_run(
+                    rc, jnp.minimum(run_fwd, run_j),
+                    (matched, off_all, mlen_all))
+        else:
+            # ---- exact sort tiers (levels 8-9) ----
+            # candidate sets standing in for the chain walk: nearest +
+            # 2nd nearest 8-byte-prefix occurrence, then 12/16/32-byte
+            # prefixes
+            p8b = prev8          # same keys as the base 8-byte tier
+                                 # (was a duplicated 2-sort call)
+            # +1 bias so "no predecessor" (-1) stays distinguishable
+            # through the gather (a clamped -1 would fabricate position
+            # 0 as a verified candidate)
+            pp8, psp8 = plane_split([(p8b + 1, 18)])
+            p8_2 = plane_join(full_gather(pp8, jnp.maximum(p8b, 0)),
+                              psp8)[0] - 1
+            p8_2 = jnp.where((p8b >= 0) & (p8_2 >= 0), p8_2, -1)
+            if "no2nd" not in _dbg:
+                cand_sets.append((p8_2, True))          # 2nd-nearest 8B
+            if "nofirst" not in _dbg:
+                cand_sets.append((_first_occurrence((u32, u32s4)), True))
+                # 2nd-nearest 4-byte occurrence (LCP verified from byte 4)
+                pp4, psp4 = plane_split([(prev4 + 1, 18)])
+                p4_2 = plane_join(full_gather(pp4, jnp.maximum(prev4, 0)),
+                                  psp4)[0] - 1
+                p4_2 = jnp.where((prev4 >= 0) & (p4_2 >= 0), p4_2, -1)
+                cand_sets.append((p4_2, False))
+            if "no12" not in _dbg:
+                cand_sets.append((_prev_occurrence(
+                    (u32, u32s4, shift32(u32, 8))), True))  # 12B prefix
+            if "no16" not in _dbg:
+                cand_sets.append((_prev_occurrence(
+                    (u32, u32s4, shift32(u32, 8), shift32(u32, 12))),
+                    True))
+            if hc_level >= 2 and "no32" not in _dbg:
+                cand_sets.append((_prev_occurrence(
+                    (u32, u32s4, shift32(u32, 8), shift32(u32, 12),
+                     shift32(u32, 16), shift32(u32, 20), shift32(u32, 24),
+                     shift32(u32, 28))), True))         # 32-byte prefix
+            if "norun" not in _dbg:
+                # run-start candidates via one exact sort per min-run
+                # tier; LCP = min(run_i, run_j) exactly when the runs
+                # differ in length and a lower bound otherwise —
+                # injected directly so the far-match extension cap
+                # cannot truncate it.
+                rp, rsp = plane_split([(run_fwd, 17)])
+                for min_run in (MINMATCH, 16, 64):
+                    keyr = jnp.where(is_rs & (run_fwd >= min_run), x, 300)
+                    prev_rs = _prev_occurrence((keyr,))
+                    run_j = plane_join(full_gather(
+                        rp, jnp.maximum(prev_rs, 0)), rsp)[0]
+                    matched, off_all, mlen_all = inject_run(
+                        prev_rs, jnp.minimum(run_fwd, run_j),
+                        (matched, off_all, mlen_all))
         for prev_t, verified8 in cand_sets:
             ok_t = (prev_t >= 0) & (i[None, :] - prev_t <= MAX_DISTANCE)
             # the "first 8 bytes verified" claim must track which
@@ -838,7 +1010,10 @@ def encode_batch_vectorized(x, data_len, D, O, S_cap, rcap=4096,
            _os.environ.get("LZ4NET_ENC_STAGE"),
            _os.environ.get("LZ4NET_SEQ_IMPL"),
            _os.environ.get("LZ4NET_MLEN_IMPL"),
-           _os.environ.get("LZ4NET_TOPOFF"))
+           _os.environ.get("LZ4NET_TOPOFF"),
+           _os.environ.get("LZ4NET_HC_TIERS"),
+           _os.environ.get("LZ4NET_HC_TABLES"),
+           _os.environ.get("LZ4NET_HC_DEBUG"))
     fn = _AOT_CACHE.get(key)
     if fn is None:
         if pre_len is None:

@@ -443,3 +443,310 @@ def bucket_prev_impl(wa, wb, h4, h8, D: int):
 
 bucket_prev = functools.partial(jax.jit, static_argnames=("D",))(
     bucket_prev_impl)
+
+
+
+# ------------------------------------------------- HC candidate tables
+#
+# The reference HC search walks a 4-byte-hash chain of up to
+# `hc_level_attempts` previous positions keeping the longest match
+# (`/root/reference/original/lz4hc.c:358-460`: HashTable + ChainTable).
+# The TPU formulation replaces the sequential walk with WIDE-PREFIX
+# bucket tables — an occurrence sharing a 12/16/32-byte prefix hash is
+# overwhelmingly a long match, so "widest prefix table that hits" is a
+# strong stand-in for "longest match on the chain" — plus a STICKY
+# 8-byte table ("first writer wins") standing in for the far end of
+# the chain (the deepest occurrence the walk can reach), plus three
+# small BYTE-RUN tables (run-start positions keyed by byte value and a
+# minimum-run tier) covering the RLE field the prefix tables
+# systematically lose (a run's first byte only matches an EARLIER run
+# start).  Rounds 3-4 answered these queries with corpus-wide stable
+# sorts (`encode_vector._prev_occurrence` per tier, ~4-5 ms each on
+# chip); the tables below run in one Mosaic kernel with the same
+# count-guarded sum-scatter update as the fast-mode tables above.
+#
+# Candidates are u32-verified in-kernel (stored word == query word);
+# bytes past 4 are NOT content-verified (hash-trusted), so callers
+# must evaluate true lengths with claim=False.  Sticky tables keep
+# their FIRST committed entry: buckets hit more than once in their
+# first chunk stay poisoned (0) for that chunk and take the next
+# chunk's single writer — a bounded approximation of
+# `_first_occurrence`.
+
+MIX12 = np.int32(-1028477387)    # odd mixers for wide-prefix keys
+MIX16 = np.int32(-1640531527)
+MIX32 = np.int32(-2048144789)
+RUN_ROWS = 8                     # byte-run tables: 768 keys -> 8 rows
+
+
+def hash_fold(words, mix):
+    """Bucket id of a wide prefix: fold words with an odd mixer, then
+    the reference's multiplicative hash onto NB buckets."""
+    h = words[0]
+    for w in words[1:]:
+        h = (h * mix) ^ w
+    return hash_bucket(h)
+
+
+def _hc_tables_scan(wa, hs, sticky, nrows, D: int):
+    """XLA-scan implementation of the HC tables (CPU/test path).
+
+    wa: [B, D] u32 words (verification values); hs: tuple of [B, D]
+    bucket-id streams, one table each; sticky[t]: first-writer-wins;
+    nrows[t]: table size in 128-lane rows.  Returns per-table
+    candidate streams [B, D] (position or -1), probed pre-update."""
+    B = wa.shape[0]
+    nch = D // CHUNK
+    nt = len(hs)
+
+    def chunked(x):
+        return jnp.moveaxis(x.reshape(B, nch, CROWS, LANE), 1, 0)
+
+    xs = tuple(chunked(v) for v in (wa,) + tuple(hs))
+
+    def step(carry, xc):
+        tabs, cbase = carry
+        wa_c = xc[0]
+        cands = []
+        new_tabs = []
+        val_pos = (cbase.reshape(1, 1)
+                   + jnp.arange(CHUNK, dtype=jnp.int32)[None, :] + 1)
+        for t in range(nt):
+            h_c = xc[1 + t]
+            tp, tw = tabs[t]
+            nb_t = nrows[t] * LANE
+            hf = jnp.clip(h_c.reshape(B, CHUNK), 0, nb_t - 1)
+            c = jnp.take_along_axis(tp, hf, axis=-1).reshape(h_c.shape)
+            w = jnp.take_along_axis(tw, hf, axis=-1).reshape(h_c.shape)
+            ok = (c > 0) & (w == wa_c)
+            cands.append(jnp.where(ok, c - 1, -1))
+            # count-guarded update (same einsum scheme as fast tables)
+            rr = jnp.arange(nrows[t], dtype=jnp.int32) + (hf[0, :1] & 0)
+            ll = jnp.arange(LANE, dtype=jnp.int32) + (hf[0, :1] & 0)
+            A = ((hf >> 7)[:, :, None]
+                 == rr[None, None, :]).astype(jnp.float32)
+            O = ((hf & (LANE - 1))[:, :, None]
+                 == ll[None, None, :]).astype(jnp.float32)
+            cnt = jnp.einsum("bkr,bkl->brl", A, O,
+                             precision="highest").reshape(B, nb_t)
+            sp = jnp.einsum(
+                "bkr,bkl->brl",
+                A * jnp.broadcast_to(val_pos, (B, CHUNK)
+                                     ).astype(jnp.float32)[:, :, None],
+                O, precision="highest").reshape(B, nb_t)
+            sw_acc = jnp.zeros((B, nb_t), jnp.int32)
+            waf = wa_c.reshape(B, CHUNK)
+            for p in range(4):
+                plane = ((waf >> (8 * p)) & 0xFF).astype(jnp.float32)
+                sw_acc = sw_acc | ((jnp.einsum(
+                    "bkr,bkl->brl", A * plane[:, :, None], O,
+                    precision="highest").reshape(B, nb_t).astype(jnp.int32)
+                    & 0xFF) << (8 * p))
+            one = cnt == 1
+            if sticky[t]:
+                one = one & (tp == 0)
+            new_tabs.append((jnp.where(one, sp.astype(jnp.int32), tp),
+                             jnp.where(one, sw_acc, tw)))
+        return (tuple(new_tabs), cbase + CHUNK), tuple(cands)
+
+    tabs0 = tuple(
+        (jnp.broadcast_to(wa[:, :1] & 0, (B, nrows[t] * LANE)),) * 2
+        for t in range(nt))
+    cbase0 = wa[0, :1] & 0
+    _, cands = jax.lax.scan(step, (tabs0, cbase0), xs)
+    return tuple(jnp.moveaxis(cv, 0, 1).reshape(B, D) for cv in cands)
+
+
+def _hc_kernel(B, D, pos_planes, nt, sticky, nrows, *refs):
+    wa_ref = refs[0]
+    h_refs = refs[1:1 + nt]
+    cand_refs = refs[1 + nt:1 + 2 * nt]
+    scr = refs[1 + 2 * nt:]                 # (tp, tw) per table
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        for t in range(nt):
+            z = jnp.zeros((B, nrows[t], LANE), jnp.int32)
+            scr[2 * t][:, :, :] = z
+            scr[2 * t + 1][:, :, :] = z
+
+    wa = wa_ref[0]                          # [B, CROWS, LANE]
+    cbase = c * CHUNK
+
+    for t in range(nt):
+        h = h_refs[t][0]
+        tp_scr, tw_scr = scr[2 * t], scr[2 * t + 1]
+        nr = nrows[t]
+        # probe pre-update: select-loop over table rows, 2D takes
+        for cr in range(CROWS):
+            hr = h[:, cr, :]
+            hrow = hr >> 7
+            hlane = hr & (LANE - 1)
+            tc = jnp.zeros((B, LANE), jnp.int32)
+            tw = jnp.zeros((B, LANE), jnp.int32)
+            for r in range(nr):
+                sel = hrow == r
+                tc = jnp.where(sel, _take_lane(tp_scr[:, r, :], hlane),
+                               tc)
+                tw = jnp.where(sel, _take_lane(tw_scr[:, r, :], hlane),
+                               tw)
+            ok = (tc > 0) & (tw == wa[:, cr, :])
+            cand_refs[t][0, :, cr, :] = jnp.where(ok, tc - 1, -1)
+        # count-guarded update (batched one-hot matmuls)
+        cnt = jnp.zeros((B, nr, LANE), jnp.float32)
+        accp = [jnp.zeros((B, nr, LANE), jnp.float32)
+                for _ in range(pos_planes)]
+        accw = [jnp.zeros((B, nr, LANE), jnp.float32)
+                for _ in range(4)]
+        for r in range(CROWS):
+            hr = h[:, r, :]
+            a = ((hr >> 7)[:, None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (B, nr, 1), 1)).astype(jnp.bfloat16)
+            ohl = ((hr & (LANE - 1))[:, :, None]
+                   == jax.lax.broadcasted_iota(
+                       jnp.int32, (B, LANE, LANE), 2)).astype(jnp.bfloat16)
+
+            def bdot(lhs):
+                return jax.lax.dot_general(
+                    lhs, ohl,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+
+            cnt = cnt + bdot(a)
+            vpos = (cbase + r * LANE + 1
+                    + jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1))
+            for p in range(pos_planes):
+                plane = ((vpos >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                accp[p] = accp[p] + bdot(a * plane[:, None, :])
+            war = wa[:, r, :]
+            for p in range(4):
+                plane = ((war >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                accw[p] = accw[p] + bdot(a * plane[:, None, :])
+        one = cnt == 1.0
+        newp = jnp.zeros((B, nr, LANE), jnp.int32)
+        for p in range(pos_planes):
+            newp = newp | ((accp[p].astype(jnp.int32) & 0xFF) << (8 * p))
+        neww = jnp.zeros((B, nr, LANE), jnp.int32)
+        for p in range(4):
+            neww = neww | ((accw[p].astype(jnp.int32) & 0xFF) << (8 * p))
+        if sticky[t]:
+            one = one & (tp_scr[:, :, :] == 0)
+        tp_scr[:, :, :] = jnp.where(one, newp, tp_scr[:, :, :])
+        tw_scr[:, :, :] = jnp.where(one, neww, tw_scr[:, :, :])
+
+
+def _hc_tables_pallas(wa, hs, sticky, nrows, D: int):
+    B = wa.shape[0]
+    nt = len(hs)
+    if B == 1:
+        pad = lambda v: jnp.concatenate([v, v], axis=0)
+        return tuple(
+            r[:1] for r in _hc_tables_pallas(
+                pad(wa), tuple(pad(h) for h in hs), sticky, nrows, D))
+    if B > MAXB:
+        parts = [
+            _hc_tables_pallas(wa[i:i + MAXB],
+                              tuple(h[i:i + MAXB] for h in hs),
+                              sticky, nrows, D)
+            for i in range(0, B, MAXB)]
+        return tuple(jnp.concatenate([p[t] for p in parts], axis=0)
+                     for t in range(nt))
+    nch = D // CHUNK
+    pos_planes = _cdiv(max((D + 1).bit_length(), 8), 8)
+    kern = functools.partial(_hc_kernel, B, D, pos_planes, nt,
+                             tuple(sticky), tuple(nrows))
+    spec = pl.BlockSpec((1, B, CROWS, LANE), lambda c: (c, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    scratch = []
+    for t in range(nt):
+        scratch += [pltpu.VMEM((B, nrows[t], LANE), jnp.int32)] * 2
+    cands = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nch, B, CROWS, LANE), jnp.int32)
+            for _ in range(nt)),
+        grid=(nch,),
+        in_specs=[spec] * (1 + nt),
+        out_specs=tuple([spec] * nt),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*((jnp.moveaxis(v.reshape(B, nch, CROWS, LANE), 1, 0)
+         for v in (wa,) + tuple(hs))))
+    return tuple(jnp.moveaxis(cv, 0, 1).reshape(B, D) for cv in cands)
+
+
+def hc_tables(wa, hs, sticky, nrows, D: int):
+    """Probe-then-update bucket tables over position streams (see
+    module comment above).  Dispatch mirrors ``bucket_prev_impl``."""
+    impl = os.environ.get("LZ4NET_HASH_IMPL")
+    if impl == "scan" or (impl != "pallas" and _interpret()):
+        return _hc_tables_scan(wa, hs, sticky, nrows, D)
+    return _hc_tables_pallas(wa, hs, sticky, nrows, D)
+
+
+def hc_candidates(x, wa, wb, is_rs, run_fwd, D: int, tables=None):
+    """HC candidate streams from one fused table pass.
+
+    Returns (deep, first, runs) — ``deep`` [B, D] is the widest-prefix
+    table hit (32B > 16B > 12B bucket tables, count-guarded latest
+    entry), ``first`` the sticky 8-byte table (the far end of the
+    reference's chain walk), ``runs`` a list of three byte-run
+    candidate streams (min-run tiers 4/16/64; writers and queries are
+    run starts with at least the tier's run length).  All streams are
+    position-or--1 and u32-verified in-kernel; bytes past 4 are
+    hash-trusted, so evaluate ``deep``/``first`` with claim=False.
+    Run candidates carry a content GUARANTEE from the u32 verify: the
+    candidate starts >= 4 bytes of the same byte value, so
+    min(run_fwd[i], run_fwd[cand]) is a valid match-length lower
+    bound (the analytic injection in the HC parse)."""
+    def sh(nbytes):
+        return jnp.concatenate(
+            [x[:, nbytes:], jnp.zeros_like(x[:, :nbytes])], axis=1)
+    w8, w12 = _u32_of(sh(8)), _u32_of(sh(12))
+    w16, w20 = _u32_of(sh(16)), _u32_of(sh(20))
+    w24, w28 = _u32_of(sh(24)), _u32_of(sh(28))
+    h12 = hash_fold((wa, wb, w8), MIX12)
+    h16 = hash_fold((wa, wb, w8, w12), MIX16)
+    h32 = hash_fold((wa, wb, w8, w12, w16, w20, w24, w28), MIX32)
+    h8s = hash_bucket8(wa, wb)
+    DUMP = np.int32(RUN_ROWS * LANE - 1)     # poisoned catch-all bucket
+    run_hs = tuple(
+        jnp.where(is_rs & (run_fwd >= mr), x + np.int32(256 * ti),
+                  DUMP)
+        for ti, mr in enumerate((4, 16, 64)))
+    # table-set selection (callers pass ``tables``; the env knob is
+    # the tools/probe_encode.py A/B override): e.g.
+    # LZ4NET_HC_TABLES=12,32,s8,runs drops the 16B tier
+    sel = os.environ.get("LZ4NET_HC_TABLES",
+                         tables or "12,16,32,s8,runs")
+    want = [w.strip() for w in sel.split(",") if w.strip()]
+    spec = {"12": (h12, False, NBROWS), "16": (h16, False, NBROWS),
+            "32": (h32, False, NBROWS), "s8": (h8s, True, NBROWS)}
+    names = [w for w in want if w in spec]
+    hs = tuple(spec[w][0] for w in names)
+    sticky = tuple(spec[w][1] for w in names)
+    nrows = tuple(spec[w][2] for w in names)
+    use_runs = "runs" in want
+    if use_runs:
+        hs += run_hs
+        sticky += (False, False, False)
+        nrows += (RUN_ROWS, RUN_ROWS, RUN_ROWS)
+    out = hc_tables(wa, hs, sticky, nrows, D)
+    by = dict(zip(names, out))
+    none = jnp.full_like(wa, -1)
+    deep = none
+    for w in ("12", "16", "32"):        # widest prefix wins
+        if w in by:
+            deep = jnp.where(by[w] >= 0, by[w], deep)
+    runs = list(out[len(names):]) if use_runs else [none, none, none]
+    return deep, by.get("s8", none), runs
+
+
+def _u32_of(x):
+    b1 = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    b2 = jnp.concatenate([x[:, 2:], jnp.zeros_like(x[:, :2])], axis=1)
+    b3 = jnp.concatenate([x[:, 3:], jnp.zeros_like(x[:, :3])], axis=1)
+    return x | (b1 << 8) | (b2 << 16) | (b3 << 24)

@@ -28,6 +28,8 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("stage="):
             os.environ["LZ4NET_ENC_STAGE"] = a.split("=", 1)[1]
+        if a.startswith("hc="):
+            hc = int(a.split("=", 1)[1])
     B, size = 16, 65536
     D = _cdiv(size + 1, CH) * CH
     O = _cdiv(maximum_output_length(D) + 1, CH) * CH
@@ -49,6 +51,8 @@ def main():
     out, ol, ok, _ = call()
     if not os.environ.get("LZ4NET_ENC_STAGE"):
         assert bool(np.asarray(ok).all()), "encode flagged blocks"
+        print(f"ratio {int(np.asarray(ol).sum()) / (B * size):.4f} "
+              f"dbg={os.environ.get('LZ4NET_HC_DEBUG', '')!r}", flush=True)
 
     def run(n):
         t0 = time.perf_counter()
