@@ -323,8 +323,14 @@ def _match_lengths_dispatch(x, u32, prev, m8, end_abs, blk_len, D, rcap,
     Bit-identical results (tests/test_mlen_kernel.py)."""
     import os as _os
     use_kernel = fused and D % 8192 == 0 and rcap % LANE == 0 \
+        and rcap <= 18432 and (D <= 73728 or rcap <= 8192) \
         and _os.environ.get("LZ4NET_MLEN_IMPL", "kernel") == "kernel" \
         and _os.environ.get("LZ4NET_TOPOFF") is None
+    # VMEM guard: the kernel's scratch scales with BOTH D and rcap.
+    # The 1 MB big-block fragment domain (D=139264) blew the budget at
+    # HC rcaps (43 MB over at rcap=D/4; 6 MB over at D/8) — those
+    # sites take the XLA path, exactly the pre-round-5 behavior; the
+    # fast-mode rcap=4096 big-D combination is chip-certified
     if not use_kernel:
         return _match_lengths(x, u32, prev, m8, end_abs, blk_len, D,
                               rcap, top_offsets=top_offsets,
@@ -662,6 +668,15 @@ def _encode_batch_traced(x, data_len, D, O, S_cap, rcap=4096,
                     (u32, u32s4, shift32(u32, 8), shift32(u32, 12),
                      shift32(u32, 16), shift32(u32, 20), shift32(u32, 24),
                      shift32(u32, 28))), True))         # 32-byte prefix
+            if "nosuffix" not in _dbg:
+                # suffix-adjacency union tier: candidates the width
+                # tiers structurally miss (prefix widths between the
+                # sorted tiers, far first-occurrence entries at every
+                # width via the min-position scan)
+                ws = (u32, u32s4) + tuple(
+                    shift32(u32, 4 * k) for k in range(2, 8))
+                sfx, _slcp = _suffix_candidates(ws)
+                cand_sets.append((sfx, False))
             if "norun" not in _dbg:
                 # run-start candidates via one exact sort per min-run
                 # tier; LCP = min(run_i, run_j) exactly when the runs
@@ -1079,7 +1094,8 @@ class VectorEncoder:
                                            np.int32)) if P else None)
             from .decode_vector import _use_fused
             lvl = min(max(hc_level, 0), 9)
-            rcap = max(4096, D // 4) if lvl > 0 else 4096
+            rcap = (4096 if lvl == 0 else
+                    max(4096, D // (8 if lvl <= 5 else 4)))
             out, out_len, ok, _aux = encode_batch_vectorized(
                 jnp.asarray(x).astype(jnp.int32), jnp.asarray(dl), D,
                 O, S_cap, rcap=rcap,
@@ -1141,7 +1157,8 @@ class VectorEncoder:
             pre_len[j] = len(window)
         from .decode_vector import _use_fused
         lvl = min(max(hc_level, 0), 9)
-        rcap = max(4096, D // 4) if lvl > 0 else 4096
+        rcap = (4096 if lvl == 0 else
+                    max(4096, D // (8 if lvl <= 5 else 4)))
         out, out_len, ok, aux = encode_batch_vectorized(
             jnp.asarray(x).astype(jnp.int32), jnp.asarray(dl), D, O,
             S_cap, rcap=rcap, hc_level=lvl, P=P,

@@ -79,3 +79,21 @@ def test_fast_hc_facade_mode(blocks, monkeypatch):
     b = blocks[0]
     p = codec.encode_hc(b, mode="fast")
     assert codec.decode(p, len(b)) == b
+
+
+@pytest.mark.slow
+def test_fast_hc_segmented_1mb_ratio():
+    """Segmented big-block HC (1 MB through `_encode_big`'s prefix-
+    window fragments): round-trips on the oracle decoder and stays
+    within 6% of the reference HC on the whole block.  Measured r5:
+    1.0488 (the round-3 '+5% segmented HC' known gap — prefix-extended
+    fragment domains lose long-match exactness to the dominant-offset
+    cap; ratchet this bound as that closes)."""
+    from lz4net_tpu.utils import corpus as _corpus
+
+    size = 1 << 20
+    data = bytes(_corpus.silesia_like(size, seed=99))
+    dev = VectorEncoder().encode_batch([data], hc_level=9)[0]
+    assert N.decompress_block(dev, size) == data
+    ref = _hc_oracle(data)
+    assert len(dev) <= len(ref) * 1.06, (len(dev), len(ref))

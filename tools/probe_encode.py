@@ -30,6 +30,8 @@ def main():
             os.environ["LZ4NET_ENC_STAGE"] = a.split("=", 1)[1]
         if a.startswith("hc="):
             hc = int(a.split("=", 1)[1])
+    rcap_arg = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                     if a.startswith("rcap=")), None)
     B, size = 16, 65536
     D = _cdiv(size + 1, CH) * CH
     O = _cdiv(maximum_output_length(D) + 1, CH) * CH
@@ -44,8 +46,12 @@ def main():
     dld = jax.device_put(jnp.asarray(dl))
     fused = _use_fused()
 
+    rcap = (4096 if hc == 0 else
+            max(4096, D // (8 if hc <= 5 else 4)))   # production setting
+    if rcap_arg is not None:
+        rcap = rcap_arg
     def call():
-        return encode_batch_vectorized(xd, dld, D, O, S_cap,
+        return encode_batch_vectorized(xd, dld, D, O, S_cap, rcap=rcap,
                                        hc_level=hc, fused=fused)
 
     out, ol, ok, _ = call()
