@@ -41,17 +41,18 @@ def test_fast_hc_round_trips_exact(blocks):
 
 
 def test_fast_hc_ratio_near_reference_hc(blocks):
-    """Corpus-wide compressed size within 1% of the reference's
+    """Corpus-wide compressed size within 0.85% of the reference's
     fixed-effort chain search (`original/lz4hc.c:184` MAX_NB_ATTEMPTS
-    256).  Measured r2 gap: +0.9% (30281 vs 30012 bytes on this
-    corpus) — prefix-tier candidates recover most but not all of the
-    256-candidate chain walk; the bit-exact parse stays on the CPU
-    engines.  Ratchet this bound down as the device search improves."""
+    256).  Ratchet history on this corpus: r2 +0.90% (30281 vs
+    30012), r3 +0.80%, r5 +0.70% (30241 vs 30032, suffix union tier)
+    — the residual is parse structure (lazy-cascade fidelity), not
+    candidate search; the bit-exact parse stays on the CPU engines.
+    Ratchet this bound down as the device parse improves."""
     enc = VectorEncoder()
     packed = enc.encode_batch(blocks, hc_level=9)
     dev_total = sum(len(p) for p in packed)
     ref_total = sum(len(_hc_oracle(b)) for b in blocks)
-    assert dev_total <= ref_total * 1.01, (dev_total, ref_total)
+    assert dev_total <= ref_total * 1.0085, (dev_total, ref_total)
 
 
 def test_fast_hc_beats_fast_greedy(blocks):
